@@ -1,0 +1,16 @@
+"""edvr_tpu: TPU-native image & video restoration framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of BasicSR
+v1.2.0 / xinntao-EDVR: YAML-option-driven training and testing of
+single-image SR (SRResNet/EDSR/RCAN/ESRGAN), video SR/deblur (EDVR with
+PCD deformable alignment and TSA fusion), StyleGAN2, and DFDNet face
+restoration, plus metrics (PSNR/SSIM/NIQE/FID), data pipelines, and
+distributed data-parallel training over TPU meshes.
+
+Design: pure-functional flax.linen models in NHWC layout, one jitted
+train step per engine, optax optimizers, orbax checkpoints, host-side
+input pipeline, `jax.sharding.Mesh`-based parallelism. Public config /
+registry / metric semantics match the reference toolbox (see SURVEY.md).
+"""
+
+__version__ = '0.1.0'
