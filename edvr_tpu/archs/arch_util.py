@@ -1,0 +1,206 @@
+"""Architecture building blocks (flax.linen, NHWC).
+
+Equivalents of the reference's arch_util
+(reference: basicsr/models/archs/arch_util.py): torch-matching weight
+initializers, ResidualBlockNoBN, pixel-shuffle Upsample, and DCNv2Pack
+(offsets/masks predicted from a *separate* feature tensor,
+arch_util.py:232-257). All convs use explicit torch-style padding so
+strided shapes match the reference exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import random
+
+from edvr_tpu.ops.dcn import modulated_deform_conv
+from edvr_tpu.ops.resize import pixel_shuffle
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Conv2d / nn.Linear default weight init:
+    kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    fan_in = int(shape[0] * shape[1] * shape[2]) if len(shape) == 4 else int(
+        shape[0])
+    bound = 1.0 / math.sqrt(fan_in)
+    return random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init_for(fan_in: int):
+    """torch default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def scaled_kaiming_normal_init(scale: float = 1.0):
+    """kaiming_normal_(fan_in, leaky_relu a=0) * scale — the reference's
+    default_init_weights (arch_util.py:20-48): N(0, sqrt(2/fan_in)) * scale.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = int(shape[0] * shape[1] * shape[2]) if len(
+            shape) == 4 else int(shape[0])
+        std = math.sqrt(2.0 / fan_in)
+        return random.normal(key, shape, dtype) * (std * scale)
+
+    return init
+
+
+class Conv2d(nn.Module):
+    """Conv with torch-default init and torch-style explicit padding.
+
+    kernel layout HWIO; input NHWC (leading dims collapsed by flax).
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | None = None  # default: (kernel_size - 1) // 2 like most
+    dilation: int = 1
+    use_bias: bool = True
+    groups: int = 1
+    kernel_init: Any = None
+    bias_init: Any = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        pad = self.padding if self.padding is not None else 0
+        cin = x.shape[-1]
+        fan_in = cin // self.groups * k * k
+        kernel_init = self.kernel_init or torch_conv_kernel_init
+        bias_init = self.bias_init or torch_bias_init_for(fan_in)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            dtype=self.dtype,
+            name='conv')(x)
+
+
+def lrelu(x, negative_slope: float = 0.1):
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+class ResidualBlockNoBN(nn.Module):
+    """Conv-ReLU-Conv residual block without BN
+    (reference: arch_util.py:67-95). With ``pytorch_init=False`` the two
+    convs use kaiming-normal scaled by 0.1."""
+    num_feat: int = 64
+    res_scale: float = 1.0
+    pytorch_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.pytorch_init:
+            kinit = None
+        else:
+            kinit = scaled_kaiming_normal_init(0.1)
+        identity = x
+        out = Conv2d(self.num_feat, 3, padding=1, kernel_init=kinit,
+                     bias_init=nn.initializers.zeros if kinit else None,
+                     name='conv1')(x)
+        out = nn.relu(out)
+        out = Conv2d(self.num_feat, 3, padding=1, kernel_init=kinit,
+                     bias_init=nn.initializers.zeros if kinit else None,
+                     name='conv2')(out)
+        return identity + out * self.res_scale
+
+
+class Upsample(nn.Module):
+    """Pixel-shuffle upsampler for 2^n and 3 scales
+    (reference: arch_util.py:98-118)."""
+    scale: int
+    num_feat: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.scale
+        if (scale & (scale - 1)) == 0:  # 2^n
+            for i in range(int(math.log2(scale))):
+                x = Conv2d(4 * self.num_feat, 3, padding=1,
+                           name=f'up_{i}')(x)
+                x = pixel_shuffle(x, 2)
+        elif scale == 3:
+            x = Conv2d(9 * self.num_feat, 3, padding=1, name='up_0')(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise ValueError(f'scale {scale} is not supported. '
+                             'Supported scales: 2^n and 3.')
+        return x
+
+
+class DCNv2Pack(nn.Module):
+    """Modulated deformable conv whose offsets/mask come from a separate
+    feature tensor (reference: arch_util.py:232-257 + the
+    ModulatedDeformConvPack parameterization, deform_conv.py:345-390).
+
+    ``conv_offset`` is zero-initialized (so the op starts as a plain
+    conv, deform_conv.py:377-381); the main weight uses the reference's
+    uniform(+-1/sqrt(fan_in)) (deform_conv.py:330-337).
+    """
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    groups: int = 1
+    deformable_groups: int = 8
+    max_residue_magnitude: float | None = None
+
+    @nn.compact
+    def __call__(self, x, feat):
+        k = self.kernel_size
+        K = k * k
+        dg = self.deformable_groups
+        out = Conv2d(dg * 3 * K, k, stride=self.stride,
+                     padding=self.padding, dilation=self.dilation,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     name='conv_offset')(feat)
+        o1, o2, mask = jnp.split(out, 3, axis=-1)
+        offset = jnp.concatenate([o1, o2], axis=-1)
+        mask = nn.sigmoid(mask)
+
+        cin = x.shape[-1]
+        fan_in = cin * K
+        weight = self.param('weight', torch_conv_kernel_init,
+                            (k, k, cin // self.groups, self.out_channels))
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.out_channels,))
+        return modulated_deform_conv(x, offset, mask, weight, bias,
+                                     self.stride, self.padding,
+                                     self.dilation, self.groups, dg)
+
+
+class Sequential(nn.Module):
+    """Stack of blocks sharing a constructor, names block_0..block_{n-1}
+    (equivalent of make_layer, reference: arch_util.py:51-64)."""
+    block_cls: Any
+    num_blocks: int
+    block_args: dict
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_blocks):
+            x = self.block_cls(**self.block_args, name=f'block_{i}')(x)
+        return x
+
+
+def make_layer(block_cls, num_blocks: int, name: str | None = None,
+               **block_args):
+    return Sequential(block_cls, num_blocks, block_args, name=name)

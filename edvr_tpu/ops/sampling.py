@@ -47,12 +47,15 @@ def bilinear_sample(img: jnp.ndarray, coord_y: jnp.ndarray,
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
-    flat = img.reshape(n, h * w, c)
+    # flattened row table with per-batch row offsets: row gathers along
+    # axis 0 hit XLA:TPU's fast gather path (see ops/dcn.py)
+    flat = img.reshape(n * h * w, c)
+    row_base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None]
 
     def tap(yi, xi, wgt):
         valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1) + row_base
+        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(n, -1, c)
         return vals * (wgt * valid.astype(img.dtype))[:, :, None]
 
     out = (tap(y0i, x0i, (1 - fy) * (1 - fx)) +
