@@ -1,0 +1,144 @@
+"""Base video SR engine (reference: basicsr/models/video_base_model.py).
+
+Validation runs per-folder x per-frame metric accumulation; work is
+process-strided (the reference strides by NCCL rank,
+video_base_model.py:44) and aggregated across hosts with an allgather
+at the end (replacing dist.reduce + barrier, :109-113).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from copy import deepcopy
+from os import path as osp
+
+import numpy as np
+
+from edvr_tpu.metrics import calculate_metric
+from edvr_tpu.models.sr_model import SRModel
+from edvr_tpu.parallel.dist_util import get_dist_info
+from edvr_tpu.utils import get_root_logger, imwrite, tensor2img
+from edvr_tpu.utils.registry import MODEL_REGISTRY
+
+
+@MODEL_REGISTRY.register()
+class VideoBaseModel(SRModel):
+
+    def dist_validation(self, dataloader, current_iter, tb_logger,
+                        save_img):
+        dataset = dataloader.dataset
+        dataset_name = dataset.opt['name']
+        with_metrics = self.opt['val']['metrics'] is not None
+        if with_metrics and not hasattr(self, 'metric_results'):
+            self.metric_results = {}
+            num_frame_each_folder = Counter(dataset.data_info['folder'])
+            for folder, num_frame in num_frame_each_folder.items():
+                self.metric_results[folder] = np.zeros(
+                    (num_frame, len(self.opt['val']['metrics'])),
+                    dtype=np.float32)
+        rank, world_size = get_dist_info()
+        if with_metrics:
+            for folder in self.metric_results:
+                self.metric_results[folder][:] = 0
+
+        for idx in range(rank, len(dataset), world_size):
+            val_data = dataset[idx]
+            val_data = {
+                k: (v[None] if isinstance(v, np.ndarray) else [v])
+                for k, v in val_data.items()
+            }
+            folder = val_data['folder'][0]
+            frame_idx, max_idx = val_data['idx'][0].split('/')
+            lq_path = val_data['lq_path'][0]
+
+            self.feed_data(val_data)
+            self.test()
+            visuals = self.get_current_visuals()
+            result_img = tensor2img([visuals['result']])
+            if 'gt' in visuals:
+                gt_img = tensor2img([visuals['gt']])
+                del self.gt
+            del self.lq
+            del self.output
+
+            if save_img:
+                if self.opt['is_train']:
+                    raise NotImplementedError(
+                        'saving image is not supported during training.')
+                if 'vimeo' in dataset_name.lower():
+                    split_result = lq_path.split('/')
+                    img_name = (f'{split_result[-3]}_{split_result[-2]}_'
+                                f'{split_result[-1].split(".")[0]}')
+                else:
+                    img_name = osp.splitext(osp.basename(lq_path))[0]
+                if self.opt['val'].get('suffix'):
+                    save_img_path = osp.join(
+                        self.opt['path']['visualization'], dataset_name,
+                        folder,
+                        f'{img_name}_{self.opt["val"]["suffix"]}.png')
+                else:
+                    save_img_path = osp.join(
+                        self.opt['path']['visualization'], dataset_name,
+                        folder, f'{img_name}_{self.opt["name"]}.png')
+                imwrite(result_img, save_img_path)
+
+            if with_metrics:
+                for metric_idx, opt_ in enumerate(
+                        deepcopy(self.opt['val']['metrics']).values()):
+                    result = calculate_metric(
+                        dict(img1=result_img, img2=gt_img), opt_)
+                    self.metric_results[folder][int(frame_idx),
+                                                metric_idx] += result
+
+        if with_metrics:
+            if world_size > 1:  # pragma: no cover - multi-host only
+                from jax.experimental import multihost_utils
+                for folder in self.metric_results:
+                    gathered = multihost_utils.process_allgather(
+                        self.metric_results[folder])
+                    self.metric_results[folder] = gathered.sum(axis=0)
+            if rank == 0:
+                self._log_validation_metric_values(current_iter,
+                                                   dataset_name, tb_logger)
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger,
+                           save_img):
+        get_root_logger().warning(
+            'nondist_validation is not implemented. Run dist_validation.')
+        self.dist_validation(dataloader, current_iter, tb_logger, save_img)
+
+    def _log_validation_metric_values(self, current_iter, dataset_name,
+                                      tb_logger):
+        """Per-folder averaging and logging
+        (reference: video_base_model.py:128-172)."""
+        metric_results_avg = {
+            folder: arr.mean(axis=0)
+            for folder, arr in self.metric_results.items()
+        }
+        total_avg_results = {
+            metric: 0.0
+            for metric in self.opt['val']['metrics'].keys()
+        }
+        for folder, avg in metric_results_avg.items():
+            for idx, metric in enumerate(total_avg_results.keys()):
+                total_avg_results[metric] += float(avg[idx])
+        for metric in total_avg_results.keys():
+            total_avg_results[metric] /= len(metric_results_avg)
+
+        log_str = f'Validation {dataset_name}\n'
+        for metric_idx, (metric, value) in enumerate(
+                total_avg_results.items()):
+            log_str += f'\t # {metric}: {value:.4f}'
+            for folder, avg in metric_results_avg.items():
+                log_str += f'\t # {folder}: {float(avg[metric_idx]):.4f}'
+            log_str += '\n'
+        get_root_logger().info(log_str)
+        if tb_logger:
+            for metric_idx, (metric, value) in enumerate(
+                    total_avg_results.items()):
+                tb_logger.add_scalar(f'metrics/{metric}', value,
+                                     current_iter)
+                for folder, avg in metric_results_avg.items():
+                    tb_logger.add_scalar(f'metrics/{metric}/{folder}',
+                                         float(avg[metric_idx]),
+                                         current_iter)

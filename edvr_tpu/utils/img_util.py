@@ -49,8 +49,7 @@ def tensor2img(tensor, rgb2bgr: bool = True, out_type=np.uint8,
     [0, 1], channel-flipped to BGR, and — for uint8 output — multiplied
     by 255 and *rounded* (not truncated).
     """
-    single = not isinstance(tensor, list)
-    if single:
+    if not isinstance(tensor, list):
         tensor = [tensor]
     result = []
     for _t in tensor:
@@ -72,7 +71,9 @@ def tensor2img(tensor, rgb2bgr: bool = True, out_type=np.uint8,
             img_np = (img_np * 255.0).round()
         img_np = img_np.astype(out_type)
         result.append(np.ascontiguousarray(img_np))
-    return result[0] if single else result
+    # single-element results unwrap, matching the reference
+    # (img_util.py:96-98)
+    return result[0] if len(result) == 1 else result
 
 
 def _make_grid(imgs: np.ndarray, nrow: int, padding: int = 2) -> np.ndarray:
@@ -113,6 +114,8 @@ def imwrite(img: np.ndarray, file_path: str, params=None,
     if auto_mkdir:
         dir_name = os.path.abspath(os.path.dirname(file_path))
         os.makedirs(dir_name, exist_ok=True)
+    if params is None:
+        return cv2.imwrite(file_path, img)
     return cv2.imwrite(file_path, img, params)
 
 
