@@ -252,16 +252,21 @@ class EDVR(nn.Module):
                       feat_l3[:, center])
         nbr_feat_l = (feat_l1, feat_l2, feat_l3)
 
-        # one PCD alignment vmapped over the frame axis — replaces the
-        # reference's per-frame Python loop (edvr_arch.py:397-403)
-        pcd = nn.vmap(
-            PCDAlignment,
-            in_axes=(1, None), out_axes=1,
-            variable_axes={'params': None},
-            split_rngs={'params': False})(
-                num_feat=nf, deformable_groups=self.deformable_groups,
-                name='pcd_align')
-        aligned_feat = pcd(nbr_feat_l, ref_feat_l)  # (b, t, h, w, nf)
+        # one PCD alignment with frames folded into the batch dim and the
+        # reference pyramid tiled across frames — replaces the
+        # reference's per-frame Python loop (edvr_arch.py:397-403) with a
+        # single big-batch trace (better XLA/MXU utilization than a
+        # vmapped per-frame body, and keeps the DCN gathers in their
+        # fast non-batched form)
+        nbr_flat = tuple(
+            f.reshape(b * t, *f.shape[2:]) for f in nbr_feat_l)
+        ref_flat = tuple(
+            jnp.repeat(f[:, None], t, axis=1).reshape(b * t, *f.shape[1:])
+            for f in ref_feat_l)
+        pcd = PCDAlignment(num_feat=nf,
+                           deformable_groups=self.deformable_groups,
+                           name='pcd_align')
+        aligned_feat = pcd(nbr_flat, ref_flat).reshape(b, t, h, w, nf)
 
         if self.with_tsa:
             feat = TSAFusion(num_feat=nf, num_frame=self.num_frame,

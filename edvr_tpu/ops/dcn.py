@@ -34,6 +34,7 @@ module is the reference implementation and fallback.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,8 +43,8 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
                           mask: jnp.ndarray, weight: jnp.ndarray,
                           bias: jnp.ndarray | None = None, stride: int = 1,
                           padding: int = 0, dilation: int = 1,
-                          groups: int = 1,
-                          deformable_groups: int = 1) -> jnp.ndarray:
+                          groups: int = 1, deformable_groups: int = 1,
+                          use_packed: bool | None = None) -> jnp.ndarray:
     """Modulated deformable conv (NHWC).
 
     Args:
@@ -67,6 +68,13 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
     P = out_h * out_w
     assert offset.shape == (n, out_h, out_w, dg * 2 * K), offset.shape
     assert mask.shape == (n, out_h, out_w, dg * K), mask.shape
+
+    c_per_ = cin // dg
+    if use_packed is None:
+        use_packed = 128 // (2 * c_per_) >= 2
+    if use_packed:
+        return _mdcn_packed(x, offset, mask, weight, bias, stride, padding,
+                            dilation, groups, dg)
 
     ctype = jnp.promote_types(offset.dtype, jnp.float32)
     acc_type = jnp.promote_types(x.dtype, jnp.float32)
@@ -159,3 +167,138 @@ def deform_im2col(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                                           padding, dilation, 1, dg))
     col = jnp.stack([c.reshape(n, out_h * out_w, cin) for c in cols], axis=2)
     return col
+
+
+def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
+                 groups, dg):
+    """Packed-tile fast path for the modulated deformable conv.
+
+    The input plane (per deformable group) is re-laid into overlapping
+    (2 rows x PX pixels x c_per channels) tiles of exactly 128 lanes,
+    so every kernel tap needs ONE wide row gather (XLA:TPU's fast
+    gather form) to fetch all four bilinear corners of all its samples;
+    the bilinear weights become two lane-selects (row slot, pixel slot),
+    and the tap contraction is a dense (P, 128) x (128, cout) MXU GEMM
+    whose weights are tiled across the 16 (row, pixel) lane slots.
+    Numerics match the reference CUDA semantics exactly: out-of-range
+    corners fall outside the tile's lane slots and/or are zeroed by the
+    per-corner validity, reproducing the per-tap zero boundary.
+    """
+    n, h, w, cin = x.shape
+    kh, kw, cin_g, cout = weight.shape
+    K = kh * kw
+    c_per = cin // dg
+    PX = 128 // (2 * c_per)          # pixels per tile row
+    SX = PX - 1                      # tile stride (overlap by 1 pixel)
+    tiles_x = (w - 1) // SX + 1
+    out_h = (h + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    out_w = (w + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+    P = out_h * out_w
+    lanes = 2 * PX * c_per
+
+    ctype = jnp.promote_types(offset.dtype, jnp.float32)
+    acc_type = jnp.promote_types(x.dtype, jnp.float32)
+
+    # ---- build the packed tile table -----------------------------------
+    # window column indices (tiles_x * PX,), zero-filled beyond w
+    col_idx = (np.arange(tiles_x)[:, None] * SX +
+               np.arange(PX)[None, :]).reshape(-1)
+    col_valid = jnp.asarray((col_idx < w).astype(np.float32))
+    col_idx = jnp.asarray(np.minimum(col_idx, w - 1))
+    # (n, h, tiles_x*PX, cin)
+    tab = jnp.take(x, col_idx, axis=2) * col_valid[None, None, :, None]
+    # vertical pair: row r=1 is the next image row (zero at the bottom)
+    tab_dn = jnp.concatenate(
+        [tab[:, 1:], jnp.zeros_like(tab[:, :1])], axis=1)
+    # (n, h, 2, tiles_x, PX, dg, c_per)
+    tab = jnp.stack([tab, tab_dn], axis=2).reshape(
+        n, h, 2, tiles_x, PX, dg, c_per)
+    # -> (n, dg, h, tiles_x, 2, PX, c_per) -> rows of `lanes`
+    tab = tab.transpose(0, 5, 1, 3, 2, 4, 6).reshape(
+        n * dg * h * tiles_x, lanes)
+
+    row_base = (np.arange(n * dg, dtype=np.int32) *
+                (h * tiles_x)).reshape(n, dg)[:, :, None]
+    row_base = jnp.asarray(row_base)
+
+    # ---- static tap bases ----------------------------------------------
+    base_y = np.arange(out_h) * stride - padding
+    base_x = np.arange(out_w) * stride - padding
+    pos_y0 = np.broadcast_to(base_y[:, None], (out_h, out_w)).reshape(P)
+    pos_x0 = np.broadcast_to(base_x[None, :], (out_h, out_w)).reshape(P)
+    pos_y0 = jnp.asarray(pos_y0.astype(np.float32), dtype=ctype)
+    pos_x0 = jnp.asarray(pos_x0.astype(np.float32), dtype=ctype)
+
+    off = offset.reshape(n, P, dg, K, 2)
+    dy = off[..., 0].transpose(0, 2, 3, 1).astype(ctype)  # (n, dg, K, P)
+    dx = off[..., 1].transpose(0, 2, 3, 1).astype(ctype)
+    msk = mask.reshape(n, P, dg, K).transpose(0, 2, 3, 1)
+
+    # lane id decomposition (elementwise math stays in the input dtype;
+    # only the GEMM accumulates in f32)
+    etype = x.dtype if x.dtype == jnp.bfloat16 else acc_type
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
+    lane_r = lane // (PX * c_per)
+    lane_p = (lane // c_per) % PX
+
+    # weights tiled across the (row, pixel) lane slots:
+    # wexp[k, g, lane=(r, p, c), o]
+    wk = weight.reshape(K, cin_g, groups, cout // groups)
+    wfull = jnp.zeros((K, cin, cout), weight.dtype)
+    for gi in range(groups):
+        wfull = wfull.at[:, gi * cin_g:(gi + 1) * cin_g,
+                         gi * (cout // groups):(gi + 1) *
+                         (cout // groups)].set(wk[:, :, gi])
+    wexp = wfull.reshape(K, dg, c_per, cout)  # channel c of group g
+    wexp = jnp.tile(wexp[:, :, None, :, :], (1, 1, 2 * PX, 1, 1)).reshape(
+        K, dg, lanes, cout).astype(etype)
+
+    zero = jnp.zeros((), etype)
+    out = jnp.zeros((n * P, cout), dtype=acc_type)
+    # statically unrolled (tap, group) loop: each iteration is one wide
+    # row-gather + fused lane-select blend + one MXU GEMM — the loop
+    # structure XLA:TPU executes fastest (measured vs batched variants)
+    for k in range(K):
+        i, j = divmod(k, kw)
+        for g in range(dg):
+            cy = pos_y0 + i * dilation + dy[:, g, k]  # (n, P)
+            cx = pos_x0 + j * dilation + dx[:, g, k]
+            y0 = jnp.floor(cy)
+            x0 = jnp.floor(cx)
+            fy = (cy - y0).astype(etype)
+            fx = (cx - x0).astype(etype)
+            y0i = y0.astype(jnp.int32)
+            x0i = x0.astype(jnp.int32)
+
+            ty = jnp.clip(y0i, 0, h - 1)
+            tx = jnp.clip(jnp.floor_divide(x0i, SX), 0, tiles_x - 1)
+            row = (ty * tiles_x + tx) + row_base[:, g]
+            G = jnp.take(tab, row.reshape(-1), axis=0)  # (n*P, lanes)
+
+            ry0 = (y0i - ty).reshape(-1, 1)
+            px0 = (x0i - SX * tx).reshape(-1, 1)
+            vy0 = ((y0i >= 0) & (y0i <= h - 1)).astype(etype)
+            vy1 = ((y0i + 1 >= 0) & (y0i + 1 <= h - 1)).astype(etype)
+            vx0 = ((x0i >= 0) & (x0i <= w - 1)).astype(etype)
+            vx1 = ((x0i + 1 >= 0) & (x0i + 1 <= w - 1)).astype(etype)
+            mg = msk[:, g, k].astype(etype)
+
+            wy0 = ((1 - fy) * vy0 * mg).reshape(-1, 1)
+            wy1 = (fy * vy1 * mg).reshape(-1, 1)
+            wx0 = ((1 - fx) * vx0).reshape(-1, 1)
+            wx1 = (fx * vx1).reshape(-1, 1)
+
+            lr = lane_r[0]
+            lp = lane_p[0]
+            wy_img = jnp.where(lr == ry0, wy0,
+                               jnp.where(lr == ry0 + 1, wy1, zero))
+            wx_img = jnp.where(lp == px0, wx0,
+                               jnp.where(lp == px0 + 1, wx1, zero))
+            Gm = G.astype(etype) * (wy_img * wx_img)
+            out = out + jnp.dot(Gm, wexp[k, g],
+                                preferred_element_type=acc_type)
+
+    out = out.reshape(n, out_h, out_w, cout).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
