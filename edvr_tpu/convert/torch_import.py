@@ -45,8 +45,14 @@ def _child_candidates(token: str, nxt: str | None, children):
     if token in children:
         yield token, 1
     if token.isdigit():
+        if nxt is not None and f'seq_{token}_{nxt}' in children:
+            # e.g. a FusedLeakyReLU bias at Sequential index N ->
+            # 'seq_N_bias'
+            yield f'seq_{token}_{nxt}', 2
         if f'block_{token}' in children:
             yield f'block_{token}', 1
+        if f'seq_{token}' in children:
+            yield f'seq_{token}', 1
         if f'up_{int(token) // 2}' in children:
             yield f'up_{int(token) // 2}', 1
 
@@ -69,54 +75,127 @@ def _resolve_path(tokens, tree):
     return path
 
 
-_PARAM_NAME_MAP = {'weight': 'kernel', 'bias': 'bias'}
-
-
-def convert_state_dict(state: dict, params_template) -> tuple[dict, list]:
-    """Map a flat torch state_dict onto a flax params tree.
+def convert_state_dict(state: dict, variables_template) -> tuple[dict, list]:
+    """Map a flat torch state_dict onto a flax variable tree.
 
     Args:
         state: {torch_name: np.ndarray}.
-        params_template: the flax params dict (e.g. from model.init) that
-            defines the target structure and shapes.
+        variables_template: either a flax params dict, or a full
+            variables dict with 'params' (and optionally 'batch_stats'
+            for networks with BatchNorm) that defines the target
+            structure and shapes.
 
     Returns:
-        (new params tree, list of unmatched torch keys)
+        (new variable tree with the same top-level structure,
+         list of unmatched torch keys)
     """
-    import jax
-    flat_template = _flatten(params_template)
-    new_flat = dict(flat_template)
+    full = isinstance(variables_template, dict) and (
+        'params' in variables_template)
+    params_template = variables_template['params'] if full else \
+        variables_template
+    stats_template = variables_template.get('batch_stats') if full else None
+
+    flat_params = _flatten(params_template)
+    flat_stats = _flatten(stats_template) if stats_template else {}
+    new_params = dict(flat_params)
+    new_stats = dict(flat_stats)
+    extra = {}  # other collections (e.g. 'noises')
     unmatched = []
-    used = set()
     for key, val in state.items():
         tokens = key.split('.')
         pname = tokens[-1]
         val = np.asarray(val)
-        target = _PARAM_NAME_MAP.get(pname, pname)
-        # candidate param paths: mapped name, raw name (e.g. DCNv2Pack's
-        # direct 'weight' param), then inside the Conv2d wrapper's inner
-        # 'conv' scope
+        if pname == 'num_batches_tracked':
+            continue
+        if pname in ('running_mean', 'running_var'):
+            # BatchNorm statistics live in the batch_stats collection
+            target = 'mean' if pname == 'running_mean' else 'var'
+            path = _resolve_path(tokens[:-1] + [target], stats_template or {})
+            if path is None:
+                unmatched.append(key)
+                continue
+            tpath = tuple(path)
+            if val.shape != flat_stats[tpath].shape:
+                raise ValueError(f'{key}: shape {val.shape} != '
+                                 f'{flat_stats[tpath].shape} at {tpath}')
+            new_stats[tpath] = val.astype(flat_stats[tpath].dtype)
+            continue
+        # candidate param names: conv kernel, raw (DCNv2Pack's direct
+        # 'weight'), BatchNorm scale, then inside the Conv2d wrapper's
+        # inner 'conv' scope
+        cands = []
+        if pname == 'weight':
+            cands = (['kernel'], ['weight'], ['scale'], ['conv', 'kernel'])
+        else:
+            cands = ([pname], ['conv', pname])
         path = None
-        for tail in ([target], [pname], ['conv', target], ['conv', pname]):
-            path = _resolve_path(tokens[:-1] + tail, params_template)
+        for tail in cands:
+            path = _resolve_path(tokens[:-1] + list(tail), params_template)
             if path is not None:
                 break
+        target_flat, target_new = flat_params, new_params
+        if path is None and full:
+            # extra collections (e.g. 'noises' buffers)
+            for cname, ctmpl in variables_template.items():
+                if cname in ('params', 'batch_stats') or ctmpl is None:
+                    continue
+                path = _resolve_path(tokens, ctmpl)
+                if path is None and tokens[0] == cname:
+                    # torch names the buffer holder like the collection
+                    # (e.g. 'noises.noise0')
+                    path = _resolve_path(tokens[1:], ctmpl)
+                if path is not None:
+                    extra.setdefault(cname, dict(_flatten(ctmpl)))
+                    target_flat = _flatten(ctmpl)
+                    target_new = extra[cname]
+                    break
         if path is None:
             unmatched.append(key)
             continue
         tpath = tuple(path)
-        tshape = flat_template[tpath].shape
-        if val.ndim == 4:  # conv OIHW -> HWIO
-            val = val.transpose(2, 3, 1, 0)
-        elif val.ndim == 2 and target == 'kernel':  # linear (o,i) -> (i,o)
-            val = val.transpose(1, 0)
-        if val.shape != tshape:
+        tshape = target_flat[tpath].shape
+        val = _match_layout(val, tshape, path[-1])
+        if val is None:
             raise ValueError(
-                f'{key}: shape {val.shape} does not match template '
-                f'{tshape} at {tpath}')
-        new_flat[tpath] = val.astype(flat_template[tpath].dtype)
-        used.add(tpath)
-    return _unflatten(new_flat), unmatched
+                f'{key}: no layout of shape {np.asarray(state[key]).shape} '
+                f'matches template {tshape} at {tpath}')
+        target_new[tpath] = val.astype(target_flat[tpath].dtype)
+    out_params = _unflatten(new_params)
+    if full:
+        out = dict(variables_template)
+        out['params'] = out_params
+        if stats_template is not None:
+            out['batch_stats'] = _unflatten(new_stats)
+        for cname, cflat in extra.items():
+            out[cname] = _unflatten(cflat)
+        return out, unmatched
+    return out_params, unmatched
+
+
+def _match_layout(val: np.ndarray, tshape, leaf_name: str):
+    """Find the torch->flax layout transform matching the template shape.
+
+    Order of preference: conv OIHW->HWIO (4D) / conv3d OIDHW->DHWIO
+    (5D) / linear (o,i)->(i,o) (2D), then NCHW->NHWC (buffers like
+    StyleGAN2's constant input and noises), then identity (e.g. the
+    (1, cout, cin, k, k) modulated-conv weight kept in torch layout),
+    then squeeze (e.g. a (1, c, 1, 1) bias onto (c,)).
+    """
+    candidates = []
+    if val.ndim == 4:
+        candidates.append(val.transpose(2, 3, 1, 0))
+        candidates.append(val.transpose(0, 2, 3, 1))
+    elif val.ndim == 5:
+        candidates.append(val.transpose(2, 3, 4, 1, 0))
+    elif val.ndim == 2 and leaf_name in ('kernel', 'weight'):
+        candidates.append(val.transpose(1, 0))
+    candidates.append(val)
+    squeezed = val.reshape([s for s in val.shape if s != 1] or [1])
+    candidates.append(squeezed)
+    for cand in candidates:
+        if cand.shape == tuple(tshape):
+            return np.ascontiguousarray(cand)
+    return None
 
 
 def _flatten(tree, prefix=()):

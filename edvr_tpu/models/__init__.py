@@ -5,8 +5,9 @@ from __future__ import annotations
 
 from copy import deepcopy
 
-from edvr_tpu.models import (edvr_model, sr_model,  # noqa: F401
-                             video_base_model)
+from edvr_tpu.models import (edvr_model, esrgan_model,  # noqa: F401
+                             sr_model, srgan_model, stylegan2_model,
+                             video_base_model, video_gan_model)
 from edvr_tpu.utils import get_root_logger
 from edvr_tpu.utils.registry import MODEL_REGISTRY
 

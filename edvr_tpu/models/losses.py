@@ -201,3 +201,92 @@ def build_loss(opt: dict):
     opt = dict(opt)
     loss_type = opt.pop('type')
     return LOSS_REGISTRY.get(loss_type)(**opt)
+
+
+@LOSS_REGISTRY.register()
+class PerceptualLoss:
+    """Perceptual + style loss on VGG features
+    (reference: losses.py:146-259). Holds frozen VGG params internally;
+    they become constants in the compiled train step.
+
+    Args:
+        layer_weights: {layer_name: weight}, e.g. {'conv5_4': 1.}.
+        vgg_pretrain_path: converted torchvision vgg .pth; defaults to
+            the reference's VGG_PRETRAIN_PATH if it exists, else the VGG
+            is randomly initialized (useful only for tests).
+    """
+
+    def __init__(self, layer_weights, vgg_type='vgg19', use_input_norm=True,
+                 range_norm=False, perceptual_weight=1.0, style_weight=0.,
+                 criterion='l1', vgg_pretrain_path=None):
+        import os
+
+        import jax as _jax
+
+        from edvr_tpu.archs.vgg_arch import (VGG_PRETRAIN_PATH,
+                                             VGGFeatureExtractor,
+                                             load_vgg_weights)
+        from edvr_tpu.utils import get_root_logger
+
+        self.perceptual_weight = perceptual_weight
+        self.style_weight = style_weight
+        self.layer_weights = layer_weights
+        self.criterion_type = criterion
+        if criterion not in ('l1', 'l2', 'fro'):
+            raise NotImplementedError(
+                f'{criterion} criterion has not been supported.')
+
+        self.vgg = VGGFeatureExtractor(
+            layer_name_list=tuple(layer_weights.keys()), vgg_type=vgg_type,
+            use_input_norm=use_input_norm, range_norm=range_norm)
+        variables = self.vgg.init(_jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 32, 32, 3)))
+        path = vgg_pretrain_path or VGG_PRETRAIN_PATH
+        if os.path.exists(path):
+            self.vgg_params = load_vgg_weights(path, variables['params'])
+        else:
+            get_root_logger().warning(
+                f'VGG pretrain weights not found at {path}; PerceptualLoss '
+                'uses a randomly initialized VGG (tests only).')
+            self.vgg_params = variables['params']
+
+    def _features(self, x):
+        return self.vgg.apply({'params': self.vgg_params}, x)
+
+    def _crit(self, a, b):
+        if self.criterion_type == 'l1':
+            return jnp.mean(jnp.abs(a - b))
+        if self.criterion_type == 'l2':
+            return jnp.mean((a - b)**2)
+        return jnp.sqrt(jnp.sum((a - b)**2))  # frobenius
+
+    @staticmethod
+    def _gram_mat(x):
+        """(n, h, w, c) -> (n, c, c) gram / (c*h*w)
+        (reference: losses.py:249-259)."""
+        n, h, w, c = x.shape
+        feats = x.reshape(n, h * w, c)
+        return jnp.einsum('npc,npd->ncd', feats, feats) / (c * h * w)
+
+    def __call__(self, x, gt):
+        x_features = self._features(x)
+        gt_features = self._features(jax.lax.stop_gradient(gt))
+
+        percep_loss = None
+        if self.perceptual_weight > 0:
+            percep_loss = 0.
+            for k in x_features.keys():
+                percep_loss += self._crit(
+                    x_features[k], gt_features[k]) * self.layer_weights[k]
+            percep_loss = percep_loss * self.perceptual_weight
+
+        style_loss = None
+        if self.style_weight > 0:
+            style_loss = 0.
+            for k in x_features.keys():
+                style_loss += self._crit(
+                    self._gram_mat(x_features[k]),
+                    self._gram_mat(gt_features[k])) * self.layer_weights[k]
+            style_loss = style_loss * self.style_weight
+
+        return percep_loss, style_loss

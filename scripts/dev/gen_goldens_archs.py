@@ -151,3 +151,55 @@ for name, cfg in edvr_variants.items():
     x = torch.rand(1, 5, 3, size, size)
     dump(name, net, x, dict(type='EDVR', **full))
 print('done')
+
+# ---- round 2: RCAN / SpyNet / TOF / DUF -------------------------------------
+from basicsr.models.archs.rcan_arch import RCAN  # noqa: E402
+from basicsr.models.archs.spynet_arch import SpyNet  # noqa: E402
+from basicsr.models.archs.tof_arch import TOFlow  # noqa: E402
+from basicsr.models.archs.duf_arch import DUF  # noqa: E402
+
+cfg = dict(num_in_ch=3, num_out_ch=3, num_feat=16, num_group=2, num_block=2,
+           squeeze_factor=4, upscale=4)
+dump('rcan', RCAN(**cfg), torch.rand(1, 3, 12, 10), dict(type='RCAN', **cfg))
+
+
+class SpyNetPair(torch.nn.Module):
+    """Wrap SpyNet's two-arg forward into one stacked input for dump()."""
+
+    def __init__(self):
+        super().__init__()
+        self.net = SpyNet()
+        # random weights (default init is uniform already); randomize BN-free
+        for p in self.net.parameters():
+            p.data.normal_(0, 0.05)
+
+    def forward(self, x):
+        return self.net(x[:, 0], x[:, 1])
+
+
+sp = SpyNetPair()
+dump('spynet', sp, torch.rand(1, 2, 3, 36, 44),
+     dict(type='SpyNet'))
+
+tof = TOFlow(adapt_official_weights=False)
+tof.eval()
+with torch.no_grad():
+    for name, p in tof.named_parameters():
+        p.data.normal_(0, 0.05)
+    # keep BN stats nontrivial
+    for m in tof.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.5, 1.5)
+dump('toflow', tof, torch.rand(1, 7, 3, 32, 32), dict(type='TOFlow'))
+
+duf = DUF(scale=4, num_layer=16, adapt_official_weights=False)
+duf.eval()
+with torch.no_grad():
+    for m in duf.modules():
+        if isinstance(m, torch.nn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.5, 1.5)
+dump('duf16', duf, torch.rand(1, 7, 3, 12, 12),
+     dict(type='DUF', scale=4, num_layer=16, adapt_official_weights=False))
+print('round 2 done')

@@ -27,7 +27,8 @@ FIXTURES = sorted(
 
 
 def nchw_to_nhwc(x):
-    return np.moveaxis(x, -3, -1)
+    # 2D tensors (latent codes, logits) have no channel axis to move
+    return np.moveaxis(x, -3, -1) if x.ndim >= 4 else x
 
 
 @pytest.mark.parametrize('name', FIXTURES)
@@ -36,16 +37,47 @@ def test_arch_matches_reference(name):
     config = json.loads(bytes(data['__config__']).decode())
     x = nchw_to_nhwc(data['__input__'])
     ref_out = nchw_to_nhwc(data['__output__'])
-    state = {k: data[k] for k in data.files if not k.startswith('__')}
+    state = {}
+    for k in data.files:
+        if k.startswith('__'):
+            continue
+        # fixtures may wrap the net (SpyNet pair / StyleGAN2 adapters)
+        for prefix in ('net.', 'g.'):
+            if k.startswith(prefix):
+                state[k[len(prefix):]] = data[k]
+                break
+        else:
+            state[k] = data[k]
 
+    mix_inject = config.pop('__mix_inject__', None)
     net = define_network(config)
-    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    params, unmatched = convert_state_dict(state, variables['params'])
+    kwargs = {}
+    if config['type'] == 'SpyNet':
+        args = (jnp.asarray(x[:, 0]), jnp.asarray(x[:, 1]))
+    elif config['type'] == 'StyleGAN2Generator':
+        if mix_inject is not None:
+            args = ([jnp.asarray(x[:, 0]), jnp.asarray(x[:, 1])],)
+            kwargs = dict(randomize_noise=False, inject_index=mix_inject)
+        else:
+            args = ([jnp.asarray(x)],)
+            kwargs = dict(randomize_noise=False)
+    else:
+        args = (jnp.asarray(x),)
+    variables = net.init(jax.random.PRNGKey(0), *args, **kwargs)
+    multi_coll = any(c in variables for c in ('batch_stats', 'noises'))
+    template = dict(variables) if multi_coll else variables['params']
+    converted, unmatched = convert_state_dict(state, template)
+    # ImageNet mean/std constant buffers are baked into the flax archs
+    unmatched = [k for k in unmatched
+                 if not k.split('.')[-1] in ('mean', 'std')]
     assert not unmatched, f'unconverted torch keys: {unmatched}'
+    out = net.apply(converted if multi_coll else {'params': converted},
+                    *args, **kwargs)
+    if isinstance(out, tuple):
+        out = out[0]
 
-    out = net.apply({'params': params}, jnp.asarray(x))
     assert out.shape == ref_out.shape
-    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4,
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-4,
                                err_msg=name)
 
 
