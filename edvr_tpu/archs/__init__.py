@@ -4,10 +4,10 @@
 from copy import deepcopy
 
 # importing the modules registers the classes
-from edvr_tpu.archs import (discriminator_arch, duf_arch,  # noqa: F401
-                            edsr_arch, edvr_arch, rcan_arch, rrdbnet_arch,
-                            spynet_arch, srresnet_arch, stylegan2_arch,
-                            tof_arch, vgg_arch)
+from edvr_tpu.archs import (dfdnet_arch, discriminator_arch,  # noqa: F401
+                            duf_arch, edsr_arch, edvr_arch, rcan_arch,
+                            rrdbnet_arch, spynet_arch, srresnet_arch,
+                            stylegan2_arch, tof_arch, vgg_arch)
 from edvr_tpu.archs.duf_arch import DUF
 from edvr_tpu.archs.edvr_arch import EDVR, PCDAlignment, TSAFusion
 from edvr_tpu.archs.edsr_arch import EDSR

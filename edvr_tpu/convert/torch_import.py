@@ -216,3 +216,28 @@ def _unflatten(flat):
             node = node.setdefault(k, {})
         node[path[-1]] = v
     return tree
+
+
+def fold_spectral_norm(state: dict) -> dict:
+    """Fold torch spectral_norm parametrizations into plain weights.
+
+    torch checkpoints of spectral-normalized modules store
+    ``weight_orig``, ``weight_u`` and ``weight_v``; the effective weight
+    is ``W / sigma`` with ``sigma = u^T @ W_mat @ v`` (W_mat = W
+    reshaped to (out, -1)). Used for inference-only imports (DFDNet).
+    """
+    out = {}
+    for key, val in state.items():
+        if key.endswith('weight_orig'):
+            base = key[:-len('weight_orig')]  # keeps the trailing dot
+            w = np.asarray(val)
+            u = np.asarray(state[f'{base}weight_u'])
+            v = np.asarray(state[f'{base}weight_v'])
+            w_mat = w.reshape(w.shape[0], -1)
+            sigma = u @ (w_mat @ v)
+            out[f'{base}weight'] = w / sigma
+        elif key.endswith(('weight_u', 'weight_v')):
+            continue
+        else:
+            out[key] = val
+    return out

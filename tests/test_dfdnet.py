@@ -1,0 +1,58 @@
+"""DFDNet smoke test: eager apply with synthetic dictionary and
+locations; spectral-norm folding unit test."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _dummy_dict(k=3):
+    sizes = {'256': 128, '128': 256, '64': 512, '32': 512}
+    rng = np.random.RandomState(0)
+    return {
+        key: {part: jnp.asarray(rng.randn(k, 8, 8, c).astype(np.float32))
+              for part in ('left_eye', 'right_eye', 'nose', 'mouth')}
+        for key, c in sizes.items()
+    }
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_dfdnet_forward_shape():
+    from edvr_tpu.archs.dfdnet_arch import DFDNet
+    net = DFDNet(num_feat=64)  # num_feat*8 must equal VGG conv5_4's 512
+    x = jnp.asarray(np.random.RandomState(1).rand(
+        1, 512, 512, 3).astype(np.float32) * 2 - 1)
+    locs = [np.array([[100, 120, 180, 200]]),
+            np.array([[300, 120, 380, 200]]),
+            np.array([[220, 200, 290, 300]]),
+            np.array([[180, 330, 330, 420]])]
+    variables = net.init(jax.random.PRNGKey(0), x, locs, _dummy_dict())
+    out = net.apply(variables, x, locs, _dummy_dict())
+    assert out.shape == (1, 512, 512, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.abs(out).max()) <= 1.0  # tanh output
+
+
+def test_fold_spectral_norm():
+    import torch
+
+    from edvr_tpu.convert.torch_import import fold_spectral_norm
+
+    conv = torch.nn.utils.spectral_norm(torch.nn.Conv2d(4, 6, 3))
+    conv.eval()
+    with torch.no_grad():
+        x = torch.randn(1, 4, 8, 8)
+        ref = conv(x)
+    state = {k: v.numpy() for k, v in conv.state_dict().items()}
+    folded = fold_spectral_norm(state)
+    assert set(folded) == {'weight', 'bias'}
+    with torch.no_grad():
+        plain = torch.nn.Conv2d(4, 6, 3)
+        plain.weight.copy_(torch.from_numpy(folded['weight']))
+        plain.bias.copy_(torch.from_numpy(folded['bias']))
+        out = plain(x)
+    np.testing.assert_allclose(out.numpy(), ref.numpy(), atol=1e-5)
