@@ -64,7 +64,8 @@ def main():
 
     baseline_fps = 125.0  # assumed 5x of A100-torch ~25 fps
     print(json.dumps({
-        'metric': 'EDVR-M x4 REDS (180x320x5) frames/sec/chip, f32',
+        'metric': 'EDVR-M x4 REDS (180x320x5) frames/sec/chip '
+                  '(f32 params, TPU-default matmul precision)',
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / baseline_fps, 3),

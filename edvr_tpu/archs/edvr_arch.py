@@ -207,6 +207,9 @@ class EDVR(nn.Module):
     hr_in: bool = False
     with_predeblur: bool = False
     with_tsa: bool = True
+    # rematerialize residual trunks in the backward pass — trades FLOPs
+    # for activation memory on the large (128ch/40-block) variants
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -235,7 +238,9 @@ class EDVR(nn.Module):
         else:
             feat_l1 = lrelu(Conv2d(nf, 3, padding=1, name='conv_first')(xf))
 
-        feat_l1 = make_layer(ResidualBlockNoBN, self.num_extract_block,
+        block_cls = nn.remat(ResidualBlockNoBN) if self.remat else \
+            ResidualBlockNoBN
+        feat_l1 = make_layer(block_cls, self.num_extract_block,
                              name='feature_extraction', num_feat=nf)(feat_l1)
         feat_l2 = lrelu(Conv2d(nf, 3, stride=2, padding=1,
                                name='conv_l2_1')(feat_l1))
@@ -278,7 +283,7 @@ class EDVR(nn.Module):
                 b, h, w, t * nf)
             feat = Conv2d(nf, 1, padding=0, name='fusion')(flat)
 
-        out = make_layer(ResidualBlockNoBN, self.num_reconstruct_block,
+        out = make_layer(block_cls, self.num_reconstruct_block,
                          name='reconstruction', num_feat=nf)(feat)
         out = lrelu(pixel_shuffle(
             Conv2d(nf * 4, 3, padding=1, name='upconv1')(out), 2))

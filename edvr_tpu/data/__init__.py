@@ -9,6 +9,13 @@ from copy import deepcopy
 from edvr_tpu.data import (ffhq_dataset, paired_image_dataset,  # noqa: F401
                            reds_dataset, single_image_dataset,
                            video_test_dataset, vimeo90k_dataset)
+
+# the packed-native REDS dataset needs the optional C++ core; register
+# it only when the library builds/loads
+try:
+    from edvr_tpu.data import reds_packed_dataset  # noqa: F401
+except Exception:  # pragma: no cover - no compiler available
+    pass
 from edvr_tpu.data.data_sampler import EnlargedSampler
 from edvr_tpu.data.loader import CPUPrefetcher, DataLoader, DevicePrefetcher
 from edvr_tpu.parallel.dist_util import get_dist_info

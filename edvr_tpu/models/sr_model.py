@@ -43,8 +43,18 @@ class SRModel(BaseModel):
                     param_key=self.opt['path'].get('param_key_g', 'params'),
                     params_template=self.params_g))
 
-        self._test_step = jax.jit(
-            lambda p, lq: self.net_g.apply({'params': p}, lq))
+        # optional strict matmul precision for published-number parity
+        # (the TPU default allows bf16 passes; set val.matmul_precision:
+        # float32 to evaluate with full-precision matmuls/convs)
+        val_prec = (self.opt.get('val') or {}).get('matmul_precision')
+
+        def _fwd(p, lq):
+            if val_prec:
+                with jax.default_matmul_precision(val_prec):
+                    return self.net_g.apply({'params': p}, lq)
+            return self.net_g.apply({'params': p}, lq)
+
+        self._test_step = jax.jit(_fwd)
 
         if self.is_train:
             self.init_training_settings()
@@ -126,10 +136,15 @@ class SRModel(BaseModel):
         tx = self.tx_g
         mult = self._update_multipliers()
         mask, mask_until = self._freeze_mask()
+        train_prec = self.opt['train'].get('matmul_precision')
 
         def step_fn(params, opt_state, lq, gt, lr, cur_iter):
             def loss_fn(p):
-                output = net.apply({'params': p}, lq)
+                if train_prec:
+                    with jax.default_matmul_precision(train_prec):
+                        output = net.apply({'params': p}, lq)
+                else:
+                    output = net.apply({'params': p}, lq)
                 losses = {}
                 l_total = 0.
                 if cri_pix is not None:

@@ -205,7 +205,8 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
                np.arange(PX)[None, :]).reshape(-1)
     col_valid = jnp.asarray((col_idx < w).astype(np.float32))
     col_idx = jnp.asarray(np.minimum(col_idx, w - 1))
-    # (n, h, tiles_x*PX, cin)
+    # (n, h, tiles_x*PX, cin); built directly in the blend dtype so the
+    # hot gathers read half the bytes on the fast path
     tab = jnp.take(x, col_idx, axis=2) * col_valid[None, None, :, None]
     # vertical pair: row r=1 is the next image row (zero at the bottom)
     tab_dn = jnp.concatenate(
@@ -234,12 +235,24 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
     dx = off[..., 1].transpose(0, 2, 3, 1).astype(ctype)
     msk = mask.reshape(n, P, dg, K).transpose(0, 2, 3, 1)
 
-    # lane id decomposition (elementwise math stays in the input dtype;
-    # only the GEMM accumulates in f32)
-    etype = x.dtype if x.dtype == jnp.bfloat16 else acc_type
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
-    lane_r = lane // (PX * c_per)
-    lane_p = (lane // c_per) % PX
+    # Precision policy: mirror XLA's matmul precision. Under the default
+    # (bf16-pass) precision, the sampled table and blend run in bf16 —
+    # exactly the quantization every conv in the network already applies
+    # to its inputs on the MXU; when float32/highest precision is pinned
+    # (e.g. parity tests, strict eval), everything stays f32.
+    prec = jax.config.jax_default_matmul_precision
+    fast = prec in (None, 'default', 'fastest', 'bfloat16',
+                    'tensorfloat32')
+    if x.dtype == jnp.bfloat16 or (fast and x.dtype == jnp.float32):
+        etype = jnp.bfloat16
+    else:
+        etype = acc_type
+    tab = tab.astype(etype)
+    # slot id decomposition at (row, pixel) resolution — the blend
+    # coefficient is constant across the c_per channels of a slot, so
+    # the compares/selects run at 2*PX width and broadcast up
+    slot_r = jax.lax.broadcasted_iota(jnp.int32, (1, 2, PX), 1)
+    slot_p = jax.lax.broadcasted_iota(jnp.int32, (1, 2, PX), 2)
 
     # weights tiled across the (row, pixel) lane slots:
     # wexp[k, g, lane=(r, p, c), o]
@@ -255,12 +268,14 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
 
     zero = jnp.zeros((), etype)
     out = jnp.zeros((n * P, cout), dtype=acc_type)
-    # statically unrolled (tap, group) loop: each iteration is one wide
-    # row-gather + fused lane-select blend + one MXU GEMM — the loop
-    # structure XLA:TPU executes fastest (measured vs batched variants)
-    for k in range(K):
-        i, j = divmod(k, kw)
-        for g in range(dg):
+    # statically unrolled (group, tap) loop: each iteration is one wide
+    # row-gather + fused slot-select blend; a group's K tap blocks
+    # concatenate along lanes into ONE (n*P, K*lanes) MXU GEMM,
+    # minimizing accumulator round-trips (measured fastest structure)
+    for g in range(dg):
+        pieces = []
+        for k in range(K):
+            i, j = divmod(k, kw)
             cy = pos_y0 + i * dilation + dy[:, g, k]  # (n, P)
             cx = pos_x0 + j * dilation + dx[:, g, k]
             y0 = jnp.floor(cy)
@@ -283,20 +298,26 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
             vx1 = ((x0i + 1 >= 0) & (x0i + 1 <= w - 1)).astype(etype)
             mg = msk[:, g, k].astype(etype)
 
-            wy0 = ((1 - fy) * vy0 * mg).reshape(-1, 1)
-            wy1 = (fy * vy1 * mg).reshape(-1, 1)
-            wx0 = ((1 - fx) * vx0).reshape(-1, 1)
-            wx1 = (fx * vx1).reshape(-1, 1)
+            wy0 = ((1 - fy) * vy0 * mg).reshape(-1, 1, 1)
+            wy1 = (fy * vy1 * mg).reshape(-1, 1, 1)
+            wx0 = ((1 - fx) * vx0).reshape(-1, 1, 1)
+            wx1 = (fx * vx1).reshape(-1, 1, 1)
+            ry0s = ry0.reshape(-1, 1, 1)
+            px0s = px0.reshape(-1, 1, 1)
 
-            lr = lane_r[0]
-            lp = lane_p[0]
-            wy_img = jnp.where(lr == ry0, wy0,
-                               jnp.where(lr == ry0 + 1, wy1, zero))
-            wx_img = jnp.where(lp == px0, wx0,
-                               jnp.where(lp == px0 + 1, wx1, zero))
-            Gm = G.astype(etype) * (wy_img * wx_img)
-            out = out + jnp.dot(Gm, wexp[k, g],
-                                preferred_element_type=acc_type)
+            # (n*P, 2, PX) slot coefficients -> broadcast over channels
+            cslot = (jnp.where(slot_r == ry0s, wy0,
+                               jnp.where(slot_r == ry0s + 1, wy1, zero)) *
+                     jnp.where(slot_p == px0s, wx0,
+                               jnp.where(slot_p == px0s + 1, wx1, zero)))
+            cfull = jnp.broadcast_to(
+                cslot[:, :, :, None],
+                (cslot.shape[0], 2, PX, c_per)).reshape(-1, lanes)
+            pieces.append(G.astype(etype) * cfull)
+        g_blend = jnp.concatenate(pieces, axis=1)  # (n*P, K*lanes)
+        wexp_g = wexp[:, g].reshape(K * lanes, cout)
+        out = out + jnp.dot(g_blend, wexp_g,
+                            preferred_element_type=acc_type)
 
     out = out.reshape(n, out_h, out_w, cout).astype(x.dtype)
     if bias is not None:

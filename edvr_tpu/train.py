@@ -158,7 +158,31 @@ def main(args=None):
 
     msg_logger = MessageLogger(opt, current_iter + 1, tb_logger)
 
-    prefetcher = CPUPrefetcher(train_loader)
+    # prefetch_mode 'device' overlaps the host->HBM upload of the next
+    # batch with the current step (reference 'cuda' mode,
+    # prefetch_dataloader.py:84-126); default is the plain iterator
+    prefetch_mode = opt['datasets']['train'].get('prefetch_mode')
+    if prefetch_mode in ('device', 'cuda'):
+        from edvr_tpu.data import DevicePrefetcher
+        # feed_data re-puts device arrays, which is a no-op when the
+        # sharding already matches
+        prefetcher = DevicePrefetcher(
+            train_loader,
+            put_fn=lambda b: {
+                k: model.shard_batch({'x': v})['x']
+                if hasattr(v, 'ndim') else v for k, v in b.items()
+            })
+        logger.info(f'Use {prefetch_mode} prefetch dataloader.')
+    else:
+        prefetcher = CPUPrefetcher(train_loader)
+
+    # optional profiler trace (SURVEY section 5: the reference has no
+    # tracing; expose jax.profiler over a configured iteration window)
+    profile_opt = opt['logger'].get('profile') or {}
+    profile_start = profile_opt.get('start_iter')
+    profile_end = profile_opt.get('end_iter')
+    profile_dir = profile_opt.get('logdir', osp.join(
+        opt['path']['log'], 'profile'))
 
     logger.info(f'Start training from epoch: {start_epoch}, '
                 f'iter: {current_iter}')
@@ -176,8 +200,17 @@ def main(args=None):
             current_iter += 1
             if current_iter > total_iters:
                 break
+            if profile_start is not None and current_iter == profile_start:
+                import jax
+                jax.profiler.start_trace(profile_dir)
+                logger.info(f'Started profiler trace -> {profile_dir}')
             model.feed_data(train_data)
             model.optimize_parameters(current_iter)
+            if profile_end is not None and current_iter == profile_end:
+                import jax
+                jax.block_until_ready(model.params_g)
+                jax.profiler.stop_trace()
+                logger.info('Stopped profiler trace.')
             iter_time = time.time() - iter_time
 
             if current_iter % opt['logger']['print_freq'] == 0:
