@@ -8,6 +8,15 @@ from edvr_tpu.utils.misc import (check_resume, get_time_str, make_exp_dirs,
                                  sizeof_fmt)
 from edvr_tpu.utils.options import dict2str, parse
 
+
+def __getattr__(name):
+    # API-familiarity re-export: the reference exposes FileClient from
+    # its utils package (basicsr/utils/__init__.py)
+    if name == 'FileClient':
+        from edvr_tpu.data.file_client import FileClient
+        return FileClient
+    raise AttributeError(name)
+
 __all__ = [
     'crop_border', 'imfrombytes', 'img2tensor', 'imwrite', 'tensor2img',
     'MessageLogger', 'get_env_info', 'get_root_logger', 'init_tb_logger',
