@@ -267,6 +267,15 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
         K, dg, lanes, cout).astype(etype)
 
     zero = jnp.zeros((), etype)
+    # A fused Pallas blend+GEMM kernel exists (edvr_tpu/ops/dcn_pallas.py)
+    # but measures ~1.5x SLOWER than this XLA formulation on v5e: XLA
+    # already fuses the gathers into the blend, so the kernel cannot cut
+    # HBM traffic without an in-kernel gather primitive (which Mosaic
+    # does not expose). Kept opt-in for future Mosaic gather support.
+    import os
+    use_pallas = (os.environ.get('EDVR_TPU_DCN_PALLAS') == '1'
+                  and etype == jnp.bfloat16
+                  and jax.default_backend() == 'tpu')
     out = jnp.zeros((n * P, cout), dtype=acc_type)
     # statically unrolled (group, tap) loop: each iteration is one wide
     # row-gather + fused slot-select blend; a group's K tap blocks
@@ -274,6 +283,7 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
     # minimizing accumulator round-trips (measured fastest structure)
     for g in range(dg):
         pieces = []
+        cs_pieces = []
         for k in range(K):
             i, j = divmod(k, kw)
             cy = pos_y0 + i * dilation + dy[:, g, k]  # (n, P)
@@ -310,14 +320,24 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
                                jnp.where(slot_r == ry0s + 1, wy1, zero)) *
                      jnp.where(slot_p == px0s, wx0,
                                jnp.where(slot_p == px0s + 1, wx1, zero)))
-            cfull = jnp.broadcast_to(
-                cslot[:, :, :, None],
-                (cslot.shape[0], 2, PX, c_per)).reshape(-1, lanes)
-            pieces.append(G.astype(etype) * cfull)
-        g_blend = jnp.concatenate(pieces, axis=1)  # (n*P, K*lanes)
+            if use_pallas:
+                pieces.append(G.astype(etype))
+                cs_pieces.append(cslot.reshape(-1, 2 * PX))
+            else:
+                cfull = jnp.broadcast_to(
+                    cslot[:, :, :, None],
+                    (cslot.shape[0], 2, PX, c_per)).reshape(-1, lanes)
+                pieces.append(G.astype(etype) * cfull)
         wexp_g = wexp[:, g].reshape(K * lanes, cout)
-        out = out + jnp.dot(g_blend, wexp_g,
-                            preferred_element_type=acc_type)
+        if use_pallas:
+            from edvr_tpu.ops.dcn_pallas import blend_matmul_group_ad
+            out = blend_matmul_group_ad(
+                jnp.concatenate(pieces, axis=1),
+                jnp.concatenate(cs_pieces, axis=1), wexp_g, out, c_per)
+        else:
+            g_blend = jnp.concatenate(pieces, axis=1)  # (n*P, K*lanes)
+            out = out + jnp.dot(g_blend, wexp_g,
+                                preferred_element_type=acc_type)
 
     out = out.reshape(n, out_h, out_w, cout).astype(x.dtype)
     if bias is not None:
