@@ -10,7 +10,6 @@ Usage:
 
 import argparse
 import glob
-import os
 import os.path as osp
 import sys
 

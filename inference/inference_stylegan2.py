@@ -6,7 +6,6 @@ Usage:
 """
 
 import argparse
-import math
 import os
 import os.path as osp
 import sys

@@ -6,7 +6,6 @@ convolution (flipped-kernel correlation) -> stride subsample;
 fused_leaky_relu = leaky_relu(x + bias, 0.2) * sqrt(2).
 """
 
-import math
 
 import torch
 import torch.nn.functional as F

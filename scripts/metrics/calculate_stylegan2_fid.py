@@ -2,7 +2,6 @@
 (reference: scripts/metrics/calculate_stylegan2_fid.py)."""
 
 import argparse
-import math
 import os.path as osp
 import sys
 

@@ -4,10 +4,8 @@ partitioner's gradient all-reduce reproduces full-batch training, the
 property DDP provided in the reference)."""
 
 import numpy as np
-import pytest
 
 import jax
-import jax.numpy as jnp
 
 
 def _opt(num_gpu):

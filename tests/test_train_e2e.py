@@ -2,7 +2,6 @@
 on the virtual 8-device CPU mesh with synthetic datasets."""
 
 import os
-import os.path as osp
 
 import cv2
 import numpy as np

@@ -41,8 +41,6 @@ def test_vgg_feature_extractor_parity():
 
 
 def test_perceptual_loss_parity(tmp_path, monkeypatch):
-    import pickle
-
     import torch
 
     from edvr_tpu.models.losses import PerceptualLoss
