@@ -517,3 +517,49 @@ tof = dict(
                                     test_y_channel=True))))
 dump('test/TOF/test_TOF_official.yml', tof)
 print('all options written')
+
+# --------------------------------------------------------------------------
+# VideoGAN (EDVR generator + image discriminator on video data)
+# --------------------------------------------------------------------------
+vgan = dict(
+    name='103_EDVRM_VideoGAN_REDS_B4G8',
+    model_type='VideoGANModel', scale=4, num_gpu=8, manual_seed=10,
+    datasets=dict(train=dict(
+        name='REDS', type='REDSDataset',
+        dataroot_gt='datasets/REDS/train_sharp',
+        dataroot_lq='datasets/REDS/train_sharp_bicubic',
+        dataroot_flow=None,
+        meta_info_file='edvr_tpu/data/meta_info/meta_info_REDS_GT.txt',
+        val_partition='REDS4', io_backend=dict(type='disk'), num_frame=5,
+        gt_size=128, interval_list=[1], random_reverse=False,
+        use_flip=True, use_rot=True, use_shuffle=True,
+        num_worker_per_gpu=3, batch_size_per_gpu=4,
+        dataset_enlarge_ratio=200, prefetch_mode=None)),
+    network_g=dict(type='EDVR', num_in_ch=3, num_out_ch=3, num_feat=64,
+                   num_frame=5, deformable_groups=8, num_extract_block=5,
+                   num_reconstruct_block=10, center_frame_idx=None,
+                   hr_in=False, with_predeblur=False, with_tsa=True),
+    network_d=dict(type='VGGStyleDiscriminator128', num_in_ch=3,
+                   num_feat=64),
+    path=dict(
+        pretrain_network_g='experiments/102_EDVR_M_x4_SR_REDS_600k_B4G8_'
+        '101pretrain/models/net_g_600000.ckpt',
+        strict_load_g=True, resume_state=None),
+    train=dict(
+        optim_g=dict(type='Adam', lr=1e-4, weight_decay=0,
+                     betas=[0.9, 0.99]),
+        optim_d=dict(type='Adam', lr=1e-4, weight_decay=0,
+                     betas=[0.9, 0.99]),
+        scheduler=dict(type='MultiStepLR',
+                       milestones=[50000, 100000, 200000, 300000],
+                       gamma=0.5),
+        total_iter=400000, warmup_iter=-1,
+        pixel_opt=dict(type='L1Loss', loss_weight=1e-2, reduction='mean'),
+        gan_opt=dict(type='GANLoss', gan_type='vanilla',
+                     real_label_val=1.0, fake_label_val=0.0,
+                     loss_weight=5e-3),
+        net_d_iters=1, net_d_init_iters=0),
+    val=None,
+    logger=copy.deepcopy(LOGGER))
+vgan.pop('val')
+dump('train/EDVR/train_EDVRM_VideoGAN_REDS.yml', vgan)
