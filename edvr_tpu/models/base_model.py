@@ -112,17 +112,33 @@ class BaseModel:
     # ------------------------------------------------------------------ #
     @master_only
     def save_network(self, params, net_label, current_iter,
-                     param_key='params'):
+                     param_key='params', extra=None):
         """Save a params pytree as <models>/net_<label>_<iter>.ckpt with
-        the reference's 'params' wrapper key (base_model.py:170-201)."""
+        the reference's 'params' wrapper key (base_model.py:170-201).
+
+        ``extra`` maps collection name -> pytree for additional mutable
+        collections that torch's ``state_dict()`` carries implicitly
+        (e.g. BatchNorm running stats as 'batch_stats')."""
         if current_iter == -1:
             current_iter = 'latest'
         save_filename = f'{net_label}_{current_iter}.ckpt'
         save_path = osp.join(self.opt['path']['models'], save_filename)
         os.makedirs(osp.dirname(save_path), exist_ok=True)
-        host_params = jax.tree_util.tree_map(np.asarray, params)
+        blob = {param_key: jax.tree_util.tree_map(np.asarray, params)}
+        for cname, tree in (extra or {}).items():
+            blob[cname] = jax.tree_util.tree_map(np.asarray, tree)
         with open(save_path, 'wb') as f:
-            pickle.dump({param_key: host_params}, f)
+            pickle.dump(blob, f)
+
+    def load_network_collection(self, path, key):
+        """Fetch an extra collection (e.g. 'batch_stats') saved alongside
+        the params in a native .ckpt; None when absent (or a .pth, whose
+        BN stats are handled by the converter)."""
+        if path.endswith('.pth'):
+            return None
+        with open(path, 'rb') as f:
+            ckpt = pickle.load(f)
+        return ckpt.get(key)
 
     def load_network(self, path, strict=True, param_key='params',
                      params_template=None):

@@ -52,11 +52,31 @@ class SRGANModel(SRModel):
         self.print_network(self.net_d, self.params_d)
         load_path = self.opt['path'].get('pretrain_network_d')
         if load_path is not None:
-            self.params_d = self.replicate(
-                self.load_network(
-                    load_path, self.opt['path'].get('strict_load_d', True),
-                    param_key=self.opt['path'].get('param_key_d', 'params'),
+            strict = self.opt['path'].get('strict_load_d', True)
+            pkey = self.opt['path'].get('param_key_d', 'params')
+            if load_path.endswith('.pth') and self.bstats_d:
+                # BN discriminators: torch state_dicts carry running
+                # stats; convert params + batch_stats together
+                from edvr_tpu.convert import (convert_state_dict,
+                                              load_torch_weights)
+                state = load_torch_weights(load_path, pkey)
+                converted, unmatched = convert_state_dict(
+                    state, {'params': self.params_d,
+                            'batch_stats': self.bstats_d})
+                if unmatched:
+                    msg = f'Unconverted torch keys: {unmatched}'
+                    if strict:
+                        raise ValueError(msg)
+                self.params_d = self.replicate(converted['params'])
+                self.bstats_d = self.replicate(converted['batch_stats'])
+            else:
+                self.params_d = self.replicate(self.load_network(
+                    load_path, strict, param_key=pkey,
                     params_template=self.params_d))
+                bstats = self.load_network_collection(load_path,
+                                                      'batch_stats')
+                if bstats is not None:
+                    self.bstats_d = self.replicate(bstats)
 
         self.cri_pix = build_loss(train_opt['pixel_opt']) if train_opt.get(
             'pixel_opt') else None
@@ -221,5 +241,6 @@ class SRGANModel(SRModel):
 
     def save(self, epoch, current_iter):
         self.save_network(self.params_g, 'net_g', current_iter)
-        self.save_network(self.params_d, 'net_d', current_iter)
+        extra = {'batch_stats': self.bstats_d} if self.bstats_d else None
+        self.save_network(self.params_d, 'net_d', current_iter, extra=extra)
         self.save_training_state(epoch, current_iter)

@@ -53,6 +53,65 @@ def test_srgan_esrgan_step(tmp_path, model_type):
 
 
 @pytest.mark.slow
+def test_srgan_save_resume_equals_uninterrupted(tmp_path):
+    """4 straight iters == 2 iters -> save -> resume -> 2 iters, for
+    params_g, params_d, D's BN running stats, and (implicitly, through
+    the continued trajectory) both Adam states."""
+    import jax
+
+    from edvr_tpu.models import create_model
+    from edvr_tpu.models.base_model import load_resume_state
+    from edvr_tpu.utils import check_resume
+
+    rng = np.random.RandomState(0)
+    batches = [{
+        'lq': rng.rand(8, 32, 32, 3).astype(np.float32),
+        'gt': rng.rand(8, 128, 128, 3).astype(np.float32),
+    } for _ in range(4)]
+
+    def run(model, iters, batch_iter):
+        for it in iters:
+            model.feed_data(batches[batch_iter(it)])
+            model.optimize_parameters(it)
+
+    def paths(sub):
+        return {'models': str(tmp_path / sub / 'models'),
+                'training_states': str(tmp_path / sub / 'states')}
+
+    # uninterrupted
+    opt = _gan_opt(tmp_path, 'SRGANModel')
+    opt['path'] = paths('a')
+    ref = create_model(opt)
+    run(ref, range(1, 5), lambda it: it - 1)
+
+    # interrupted at 2
+    opt = _gan_opt(tmp_path, 'SRGANModel')
+    opt['path'] = paths('b')
+    m1 = create_model(opt)
+    run(m1, range(1, 3), lambda it: it - 1)
+    m1.save(epoch=0, current_iter=2)
+
+    opt = _gan_opt(tmp_path, 'SRGANModel')
+    opt['path'] = paths('b')
+    opt['path']['resume_state'] = str(tmp_path / 'b' / 'states' / '2.state')
+    state = load_resume_state(opt)
+    check_resume(opt, state['iter'])
+    m2 = create_model(opt)
+    m2.resume_training(state)
+    run(m2, range(3, 5), lambda it: it - 1)
+
+    for name, a, b in [('params_g', ref.params_g, m2.params_g),
+                       ('params_d', ref.params_d, m2.params_d),
+                       ('bstats_d', ref.bstats_d, m2.bstats_d)]:
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        assert la, name
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7, err_msg=name)
+
+
+@pytest.mark.slow
 def test_stylegan2_step(tmp_path):
     from edvr_tpu.models import create_model
     opt = {
