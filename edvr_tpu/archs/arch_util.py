@@ -11,9 +11,11 @@ strided shapes match the reference exactly.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import random
 
@@ -144,6 +146,27 @@ class Upsample(nn.Module):
         return x
 
 
+_host_callback_support: list = []
+
+
+def _host_callbacks_supported() -> bool:
+    """Probe (once) whether the backend can run jax.debug.callback —
+    tunneled PJRT backends reject host send/recv at execution time."""
+    if not _host_callback_support:
+        try:
+            jax.block_until_ready(
+                jax.jit(lambda v: jax.debug.callback(lambda a: None, v)
+                        or v)(jnp.zeros(())))
+            _host_callback_support.append(True)
+        except Exception:
+            _host_callback_support.append(False)
+            from edvr_tpu.utils.logger import get_root_logger
+            get_root_logger().warning(
+                'EDVR_TPU_MONITOR_OFFSETS: host callbacks are unsupported '
+                'on this backend; offset monitoring is off.')
+    return _host_callback_support[0]
+
+
 class DCNv2Pack(nn.Module):
     """Modulated deformable conv whose offsets/mask come from a separate
     feature tensor (reference: arch_util.py:232-257 + the
@@ -176,8 +199,22 @@ class DCNv2Pack(nn.Module):
         offset = jnp.concatenate([o1, o2], axis=-1)
         mask = nn.sigmoid(mask)
 
+        if os.environ.get('EDVR_TPU_MONITOR_OFFSETS') == '1':
+            # the reference warns when the offset magnitude explodes
+            # (arch_util.py:249-253), a sign of diverging alignment.
+            # A data-dependent branch is jit-hostile, so this is an
+            # opt-in host callback rather than always-on.
+            if _host_callbacks_supported():
+                from edvr_tpu.utils.logger import get_root_logger
+
+                def _warn(absmean):
+                    if absmean > 50:
+                        get_root_logger().warning(
+                            f'Offset abs mean is {absmean}, '
+                            'larger than 50.')
+                jax.debug.callback(_warn, jnp.mean(jnp.abs(offset)))
+
         cin = x.shape[-1]
-        fan_in = cin * K
         weight = self.param('weight', torch_conv_kernel_init,
                             (k, k, cin // self.groups, self.out_channels))
         bias = self.param('bias', nn.initializers.zeros,

@@ -119,3 +119,28 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
     elif interp_mode == 'nearest':
         return _nearest_sample(x, cy, cx, padding_mode)
     raise ValueError(f'Unsupported interp_mode {interp_mode}')
+
+
+def resize_flow(flow: jnp.ndarray, size_type: str, sizes,
+                interp_mode: str = 'bilinear',
+                align_corners: bool = False) -> jnp.ndarray:
+    """Resize a flow field and rescale its vectors accordingly
+    (reference: arch_util.py:166-209, NHWC here).
+
+    Args:
+        flow: (n, h, w, 2) with last dim (dx, dy) in pixels.
+        size_type: 'ratio' or 'shape'.
+        sizes: [ratio_h, ratio_w] or [out_h, out_w].
+    """
+    from edvr_tpu.ops.resize import interpolate
+    h, w = flow.shape[1:3]
+    if size_type == 'ratio':
+        out_h, out_w = int(h * sizes[0]), int(w * sizes[1])
+    elif size_type == 'shape':
+        out_h, out_w = int(sizes[0]), int(sizes[1])
+    else:
+        raise ValueError(
+            f'Size type should be ratio or shape, but got type {size_type}.')
+    scale = jnp.asarray([out_w / w, out_h / h], flow.dtype)
+    return interpolate(flow * scale, size=(out_h, out_w), mode=interp_mode,
+                       align_corners=align_corners)

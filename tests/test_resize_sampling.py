@@ -86,3 +86,62 @@ def test_flow_warp_matches_torch_grid_sample(padding_mode, interp):
     out = flow_warp(jnp.asarray(x), jnp.asarray(flow), interp_mode=interp,
                     padding_mode=padding_mode)
     np.testing.assert_allclose(np.asarray(out), from_nchw(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize('size_type,sizes',
+                         [('ratio', [2.0, 2.0]), ('ratio', [0.5, 0.5]),
+                          ('shape', [5, 20])])
+def test_resize_flow_matches_torch(size_type, sizes):
+    from edvr_tpu.ops import resize_flow
+    rng = np.random.RandomState(3)
+    flow = rng.randn(2, 8, 12, 2).astype(np.float32) * 3
+    # reference semantics (arch_util.py:166-209): NCHW, ch0 = dx scaled
+    # by the width ratio, ch1 = dy scaled by the height ratio
+    t = torch.from_numpy(np.moveaxis(flow, -1, 1)).clone()
+    fh, fw = t.shape[2:]
+    if size_type == 'ratio':
+        oh, ow = int(fh * sizes[0]), int(fw * sizes[1])
+    else:
+        oh, ow = sizes
+    t[:, 0] *= ow / fw
+    t[:, 1] *= oh / fh
+    ref = np.moveaxis(
+        F.interpolate(t, size=(oh, ow), mode='bilinear',
+                      align_corners=False).numpy(), 1, -1)
+    out = np.asarray(resize_flow(jnp.asarray(flow), size_type, sizes))
+    np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_dcnv2pack_offset_monitor(monkeypatch):
+    """EDVR_TPU_MONITOR_OFFSETS=1 warns when |offset| mean > 50
+    (reference: arch_util.py:249-253)."""
+    import logging
+
+    import jax
+
+    from edvr_tpu.archs.arch_util import DCNv2Pack
+
+    monkeypatch.setenv('EDVR_TPU_MONITOR_OFFSETS', '1')
+    net = DCNv2Pack(out_channels=4, deformable_groups=1)
+    x = jnp.ones((1, 8, 8, 4))
+    params = net.init(jax.random.PRNGKey(0), x, x)['params']
+    # conv_offset is zero-init; force a huge bias so offsets blow up
+    params = jax.tree_util.tree_map(lambda p: p, params)
+    params['conv_offset']['conv']['bias'] = (
+        params['conv_offset']['conv']['bias'] + 100.0)
+    from edvr_tpu.utils.logger import get_root_logger
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Grab(level=logging.WARNING)
+    logger = get_root_logger()
+    logger.addHandler(handler)
+    try:
+        out = net.apply({'params': params}, x, x)
+        jax.block_until_ready(out)
+    finally:
+        logger.removeHandler(handler)
+    assert any('larger than 50' in m for m in records), records
