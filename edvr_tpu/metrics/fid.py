@@ -42,7 +42,12 @@ def calculate_fid(mu1, sigma1, mu2, sigma2, eps=1e-6) -> float:
     assert mu1.shape == mu2.shape
     assert sigma1.shape == sigma2.shape
 
-    cov_sqrt, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    # scipy deprecated/removed the disp kwarg; non-finite results are
+    # handled by the singularity fallback below either way
+    try:
+        cov_sqrt = linalg.sqrtm(sigma1 @ sigma2)
+    except Exception:
+        cov_sqrt = np.full_like(sigma1, np.nan)
 
     # numerical instability of sqrtm
     if not np.isfinite(cov_sqrt).all():

@@ -126,4 +126,5 @@ def calculate_niqe(img, crop_border, input_order='HWC', convert_to='y',
     if crop_border != 0:
         img = img[crop_border:-crop_border, crop_border:-crop_border]
 
-    return float(niqe(img, mu_pris_param, cov_pris_param, gaussian_window))
+    return float(np.squeeze(
+        niqe(img, mu_pris_param, cov_pris_param, gaussian_window)))
