@@ -1,0 +1,327 @@
+"""Official-checkpoint key remapping (edvr_tpu/convert/official.py).
+
+Round-trip strategy: the golden fixtures store the reference's
+BasicSR-named state dicts. For each family we translate those BasicSR
+keys into the *official* third-party naming using the reference's own
+rename rules (scripts/model_conversion/convert_models.py /
+convert_stylegan.py elif chains, re-expressed here), then run our
+inverse remapper and require that every original BasicSR key is
+recovered exactly.
+"""
+
+import glob
+import json
+import os.path as osp
+import re
+
+import numpy as np
+import pytest
+
+from edvr_tpu.convert.official import (remap_dfdnet, remap_duf_16l,
+                                       remap_edsr, remap_edvr,
+                                       remap_esrgan, remap_rcan,
+                                       remap_stylegan2_d,
+                                       remap_stylegan2_g)
+
+GOLDEN_DIR = osp.join(osp.dirname(__file__), 'data', 'golden')
+
+
+def fixture_keys(name, prefix=''):
+    path = osp.join(GOLDEN_DIR, f'arch_{name}.npz')
+    if not osp.exists(path):
+        pytest.skip(f'missing fixture {name}')
+    data = np.load(path)
+    cfg = json.loads(bytes(data['__config__']).decode())
+    keys = [k[len(prefix):] for k in data.files
+            if not k.startswith('__') and k.startswith(prefix)
+            and not k.endswith('num_batches_tracked')]
+    return keys, cfg
+
+
+def roundtrip(keys, to_official, remap, **remap_kwargs):
+    official = {}
+    for k in keys:
+        ok = to_official(k)
+        assert ok is not None, f'no official name for {k}'
+        assert ok not in official, f'collision at {ok}'
+        official[ok] = k  # value = expected BasicSR key
+    renamed, unmatched = remap(official, **remap_kwargs)
+    assert not unmatched, f'remapper missed: {unmatched}'
+    bad = [(got, want) for got, want in renamed.items() if got != want]
+    assert not bad, f'wrong renames: {bad[:10]}'
+    assert set(renamed) == set(keys)
+
+
+# ---------------------------------------------------------------- EDVR
+
+def edvr_to_official(k):
+    """BasicSR EDVR key -> original-EDVR-repo key
+    (convert_models.py:16-106 elif chain)."""
+    if 'predeblur.stride_conv_hr1' in k:
+        return k.replace('predeblur.stride_conv_hr1',
+                         'pre_deblur.conv_first_2')
+    if 'predeblur.stride_conv_hr2' in k:
+        return k.replace('predeblur.stride_conv_hr2',
+                         'pre_deblur.conv_first_3')
+    if 'predeblur.conv_first' in k:
+        return k.replace('predeblur.conv_first', 'pre_deblur.conv_first_1')
+    if 'predeblur.stride_conv_l2' in k:
+        return k.replace('predeblur.stride_conv_l2',
+                         'pre_deblur.deblur_L2_conv')
+    if 'predeblur.stride_conv_l3' in k:
+        return k.replace('predeblur.stride_conv_l3',
+                         'pre_deblur.deblur_L3_conv')
+    if 'predeblur.resblock_l3' in k:
+        return k.replace('predeblur.resblock_l3', 'pre_deblur.RB_L3_1')
+    if 'predeblur.resblock_l2' in k:
+        return k.replace('predeblur.resblock_l', 'pre_deblur.RB_L')
+    if 'predeblur.resblock_l1' in k:
+        a, b, c, d, e = k.split('.')
+        return f'pre_deblur.RB_L1_{int(c) + 1}.{d}.{e}'
+    if 'conv_l2' in k:
+        return k.replace('conv_l2_', 'fea_L2_conv')
+    if 'conv_l3' in k:
+        return k.replace('conv_l3_', 'fea_L3_conv')
+    if 'pcd_align.dcn_pack' in k:
+        idx = k.split('.l')[1].split('.')[0]
+        name = k.split('.l')[1].split('.')[1]
+        if 'conv_offset' in k:
+            name = name.replace('conv_offset', 'conv_offset_mask')
+            wb = k.split('.l')[1].split('.')[2]
+            return f'pcd_align.L{idx}_dcnpack.{name}.{wb}'
+        return f'pcd_align.L{idx}_dcnpack.{name}'
+    if 'pcd_align.offset_conv' in k:
+        a, b, c, d = k.split('.')
+        idx = b.split('conv')[1]
+        level = c.split('l')[1]
+        return f'pcd_align.L{level}_offset_conv{idx}.{d}'
+    if 'pcd_align.feat_conv' in k:
+        a, b, c, d = k.split('.')
+        level = c.split('l')[1]
+        return f'pcd_align.L{level}_fea_conv.{d}'
+    if 'pcd_align.cas_dcnpack' in k:
+        return k.replace('conv_offset', 'conv_offset_mask')
+    if ('conv_first' in k or 'feature_extraction' in k
+            or 'pcd_align.cas_offset' in k or 'upconv' in k
+            or 'conv_last' in k or 'conv_1x1' in k):
+        return k
+    if 'temporal_attn1' in k:
+        return k.replace('fusion.temporal_attn1', 'tsa_fusion.tAtt_2')
+    if 'temporal_attn2' in k:
+        return k.replace('fusion.temporal_attn2', 'tsa_fusion.tAtt_1')
+    if 'fusion.feat_fusion' in k:
+        return k.replace('fusion.feat_fusion', 'tsa_fusion.fea_fusion')
+    if 'fusion.spatial_attn_add' in k:
+        return k.replace('fusion.spatial_attn_add', 'tsa_fusion.sAtt_add_')
+    if 'fusion.spatial_attn_l' in k:
+        return k.replace('fusion.spatial_attn_l', 'tsa_fusion.sAtt_L')
+    if 'fusion.spatial_attn' in k:
+        return k.replace('fusion.spatial_attn', 'tsa_fusion.sAtt_')
+    if 'reconstruction' in k:
+        return k.replace('reconstruction', 'recon_trunk')
+    if 'conv_hr' in k:
+        return k.replace('conv_hr', 'HRconv')
+    if 'fusion' in k:
+        return k.replace('fusion', 'tsa_fusion')
+    return None
+
+
+@pytest.mark.parametrize('fixture', ['edvr_m_full', 'edvr_tsa',
+                                     'edvr_notsa', 'edvr_predeblur',
+                                     'edvr_hrin'])
+def test_edvr_official_roundtrip(fixture):
+    keys, _ = fixture_keys(fixture)
+    roundtrip(keys, edvr_to_official, remap_edvr)
+
+
+# ---------------------------------------------------------------- EDSR
+
+def edsr_to_official(num_block):
+    def fn(k):
+        if 'conv_first' in k:
+            return k.replace('conv_first', 'head.0')
+        if 'conv_after_body' in k:
+            return k.replace('conv_after_body', f'body.{num_block}')
+        if 'body' in k:
+            return k.replace('conv1', 'body.0').replace('conv2', 'body.2')
+        if 'upsample.0' in k:
+            return k.replace('upsample.0', 'tail.0.0')
+        if 'upsample.2' in k:
+            return k.replace('upsample.2', 'tail.0.2')
+        if 'upsample.1' in k or 'upsample.3' in k:  # x3 path uses idx 1
+            return k.replace('upsample.', 'tail.0.')
+        if 'conv_last' in k:
+            return k.replace('conv_last', 'tail.1')
+        return None
+    return fn
+
+
+@pytest.mark.parametrize('fixture', ['edsr_x2', 'edsr_x4'])
+def test_edsr_official_roundtrip(fixture):
+    keys, cfg = fixture_keys(fixture)
+    nb = cfg['num_block']
+    roundtrip(keys, edsr_to_official(nb), remap_edsr, num_block=nb)
+
+
+# ---------------------------------------------------------------- RCAN
+
+def rcan_to_official(num_group, num_block):
+    def fn(k):
+        if 'conv_first' in k:
+            return k.replace('conv_first', 'head.0')
+        if 'conv_after_body' in k:
+            return k.replace('conv_after_body', f'body.{num_group}')
+        if 'attention' in k:
+            a, ai, b, bi, c, ci, d, di, e = k.split('.')
+            return (f'body.{ai}.body.{bi}.body.{ci}.conv_du.'
+                    f'{int(di) - 1}.{e}')
+        if 'rcab' in k:
+            a, ai, b, bi, c, ci, d = k.split('.')
+            return f'body.{ai}.body.{bi}.body.{ci}.{d}'
+        if 'upsample.0' in k:
+            return k.replace('upsample.0', 'tail.0.0')
+        if 'upsample.2' in k:
+            return k.replace('upsample.2', 'tail.0.2')
+        if 'conv_last' in k:
+            return k.replace('conv_last', 'tail.1')
+        if 'body' in k:
+            return re.sub(r'body\.(\d+)\.conv\.',
+                          rf'body.\1.body.{num_block}.', k)
+        return None
+    return fn
+
+
+def test_rcan_official_roundtrip():
+    keys, cfg = fixture_keys('rcan')
+    roundtrip(keys, rcan_to_official(cfg['num_group'], cfg['num_block']),
+              remap_rcan, num_group=cfg['num_group'],
+              num_block=cfg['num_block'])
+
+
+# -------------------------------------------------------------- ESRGAN
+
+def esrgan_to_official(k):
+    if 'rdb' in k:
+        return k.replace('rdb', 'RDB').replace('body', 'RRDB_trunk')
+    if 'conv_body' in k:
+        return k.replace('conv_body', 'trunk_conv')
+    if 'conv_up' in k:
+        return k.replace('conv_up', 'upconv')
+    if 'conv_hr' in k:
+        return k.replace('conv_hr', 'HRconv')
+    return k
+
+
+def test_esrgan_official_roundtrip():
+    keys, _ = fixture_keys('rrdbnet')
+    roundtrip(keys, esrgan_to_official, remap_esrgan)
+
+
+# ----------------------------------------------------------------- DUF
+
+def duf_to_official(k):
+    if 'conv3d1' in k:
+        return k.replace('conv3d1', 'conv3d_1')
+    if 'conv3d2' in k:
+        return k.replace('conv3d2', 'conv3d_2')
+    m = re.match(r'dense_block1\.dense_blocks\.(\d+)\.(\d+)\.(.*)', k)
+    if m:
+        block, pos, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        kind, off = {0: ('bn3d', 1), 2: ('conv3d', 1),
+                     3: ('bn3d', 2), 5: ('conv3d', 2)}[pos]
+        return f'dense_block_1.{kind}_{2 * block + off}.{rest}'
+    m = re.match(r'dense_block2\.temporal_reduce(\d)\.(\d+)\.(.*)', k)
+    if m:
+        red, pos, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        kind, off = {0: ('bn3d', 1), 2: ('conv3d', 1),
+                     3: ('bn3d', 2), 5: ('conv3d', 2)}[pos]
+        return f'dense_block_2.{kind}_{2 * (red - 1) + off}.{rest}'
+    if 'bn3d2' in k:
+        return k.replace('bn3d2', 'bn3d_2')
+    return k
+
+
+def test_duf16_official_roundtrip():
+    keys, cfg = fixture_keys('duf16')
+    assert cfg['num_layer'] == 16
+    roundtrip(keys, duf_to_official, remap_duf_16l)
+
+
+# ------------------------------------------------------------ StyleGAN2
+
+def sg2_g_to_official(k):
+    """convert_stylegan.py:11-37 elif chain (needs no shapes: the
+    noise-injection weight is exactly style_conv*[.N].weight)."""
+    if 'style_mlp' in k:
+        return k.replace('style_mlp', 'style')
+    if 'constant_input.weight' in k:
+        return k.replace('constant_input.weight', 'input.input')
+    if 'style_conv1.modulated_conv' in k:
+        return k.replace('style_conv1.modulated_conv', 'conv1.conv')
+    if 'style_conv1' in k:
+        if re.fullmatch(r'style_conv1\.weight', k):
+            return k.replace('style_conv1', 'conv1.noise')
+        return k.replace('style_conv1', 'conv1')
+    if 'style_convs' in k:
+        ok = k.replace('style_convs', 'convs').replace(
+            'modulated_conv', 'conv')
+        if re.fullmatch(r'convs\.\d+\.weight', ok):
+            ok = ok.replace('.weight', '.noise.weight')
+        return ok
+    if 'to_rgb1.modulated_conv' in k:
+        return k.replace('to_rgb1.modulated_conv', 'to_rgb1.conv')
+    if 'to_rgbs' in k:
+        return k.replace('modulated_conv', 'conv')
+    if 'noises' in k:
+        return k.replace('.noise', '.noise_')
+    return k
+
+
+def test_stylegan2_g_official_roundtrip():
+    keys, _ = fixture_keys('stylegan2_g', prefix='g.')
+    assert keys, 'expected g.-prefixed keys in fixture'
+    roundtrip(keys, sg2_g_to_official, remap_stylegan2_g)
+
+
+def test_stylegan2_d_official_roundtrip():
+    keys, _ = fixture_keys('stylegan2_d', prefix='d.')
+    if not keys:
+        keys, _ = fixture_keys('stylegan2_d')
+    roundtrip(keys,
+              lambda k: k.replace('conv_body', 'convs'),
+              remap_stylegan2_d)
+
+
+# -------------------------------------------------------------- DFDNet
+
+def test_dfdnet_official_spot_renames():
+    from edvr_tpu.archs.vgg_arch import NAMES
+    names = NAMES['vgg19']
+    official = {
+        'VggExtract.RGB_mean': 1,
+        'VggExtract.model.features.0.weight': 2,
+        'VggExtract.model.features.2.bias': 3,
+        'le.0.weight': 4,
+        'mo.1.bias': 5,
+        'MSDilate.conv1.0.weight': 6,
+        'MSDilate.convi.weight': 7,
+        'up1.ScaleModel1.0.weight': 8,
+        'up2.ShiftModel1.0.weight': 9,
+        'up4.Model.0.weight': 10,
+        'up3.0.weight': 11,
+    }
+    renamed, unmatched = remap_dfdnet(official, vgg_names=names)
+    assert not unmatched
+    assert renamed == {
+        'vgg_extractor.mean': 1,
+        f'vgg_extractor.vgg_net.{names[0]}.weight': 2,
+        f'vgg_extractor.vgg_net.{names[2]}.bias': 3,
+        'attn_blocks.left_eye.0.weight': 4,
+        'attn_blocks.mouth.1.bias': 5,
+        'multi_scale_dilation.conv_blocks.0.0.weight': 6,
+        'multi_scale_dilation.conv_fusion.weight': 7,
+        'upsample1.scale_block.0.weight': 8,
+        'upsample2.shift_block.0.weight': 9,
+        'upsample4.body.0.weight': 10,
+        'upsample3.0.weight': 11,
+    }
