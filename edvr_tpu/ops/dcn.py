@@ -34,9 +34,374 @@ module is the reference implementation and fallback.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _col2im_add(rows, upd, nrows, out_dtype, span_rows):
+    """Exact scatter-add of gathered-row gradients into the tile table.
+
+    XLA:TPU lowers a plain ``zeros.at[rows].add(upd)`` to a sorted
+    sequential scatter running at ~17 GB/s (measured v5e) — 90 ms per
+    EDVR train step. This formulation exploits the raster locality of
+    the DCN sample rows instead: consecutive points of one kernel tap
+    land in a narrow, slowly-advancing band of table rows, so chunks of
+    ``NC`` consecutive points reduce onto a ``W``-row window with ONE
+    one-hot (NC, W) x (NC, lanes) MXU contraction, and the windows are
+    scatter-added (C*W rows, ~6x fewer updates and mostly-sorted).
+    Points falling outside their chunk's window (large offsets) are
+    compacted with a fixed-capacity ``nonzero`` and scatter-added
+    exactly; in the (pathological) case of more outliers than the
+    capacity, a ``lax.cond`` falls back to the plain full scatter, so
+    the result is exact for every input.
+
+    Args:
+        rows: (M,) int32 table-row index per update (< nrows).
+        upd: (M, lanes) update rows.
+        nrows: static table length.
+        out_dtype: dtype of the returned table gradient.
+        span_rows: static estimate (including offset-jitter headroom)
+            of the table-row span of NC consecutive points; sets the
+            window size.
+
+    Returns:
+        (nrows, lanes) accumulated gradient, cast to out_dtype.
+    """
+    (m,), (m2, lanes) = rows.shape, upd.shape
+    assert m == m2
+    NC = 512
+    W = int(np.ceil(span_rows / 128.0)) * 128  # MXU-aligned window
+    if m < 4 * NC or W > 512 or W >= nrows:
+        # tiny problem or no exploitable locality: plain scatter
+        return (jnp.zeros((nrows, lanes), jnp.float32)
+                .at[rows].add(upd.astype(jnp.float32)).astype(out_dtype))
+
+    pad = (-m) % NC
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.full((pad,), nrows, jnp.int32)])
+        upd = jnp.concatenate(
+            [upd, jnp.zeros((pad, lanes), upd.dtype)])
+    mt = m + pad
+    C = mt // NC
+    rows_c = rows.reshape(C, NC)
+    upd_c = upd.reshape(C, NC, lanes)
+
+    starts = jnp.clip(jnp.min(rows_c, axis=1), 0, nrows + 1 - W)  # (C,)
+    rel = rows_c - starts[:, None]                                # (C, NC)
+    inw = (rel >= 0) & (rel < W)
+    onehot = jnp.where(
+        inw[:, :, None],
+        rel[:, :, None] == jnp.arange(W, dtype=rel.dtype)[None, None, :],
+        False).astype(upd.dtype)
+    # (C, NC, W)^T x (C, NC, lanes) -> (C, W, lanes) on the MXU;
+    # inter-window accumulation runs in the table dtype (>= the plain
+    # path's precision, whose adds are entirely in the table dtype)
+    win = jnp.einsum('cnw,cnl->cwl', onehot, upd_c,
+                     preferred_element_type=jnp.float32).astype(out_dtype)
+    win_idx = (starts[:, None] +
+               jnp.arange(W, dtype=jnp.int32)[None, :]).reshape(-1)
+    out = (jnp.zeros((nrows + 1, lanes), out_dtype)
+           .at[win_idx].add(win.reshape(-1, lanes)))
+    out = _fallback_add(out, rows, upd, ~inw.reshape(-1), nrows, out_dtype)
+    return out[:nrows]
+
+
+def _fallback_add(out, rows, upd, out_mask, nrows, out_dtype):
+    """Exact accumulation of the (rare) points a window missed.
+
+    Compacts the marked points with a fixed-capacity ``nonzero`` and
+    scatter-adds them; if more points are marked than the capacity, a
+    ``lax.cond`` branch falls back to a full masked scatter so the
+    result is exact for every input. ``out`` has nrows+1 rows; row
+    ``nrows`` is the drop slot for inactive capacity entries.
+    """
+    mt = rows.shape[0]
+    cap = max(1024, mt // 64)
+    n_out = jnp.sum(out_mask)
+
+    def compacted(out):
+        pos = jnp.nonzero(out_mask, size=cap, fill_value=mt)[0]
+        valid = pos < mt
+        cp = jnp.clip(pos, 0, mt - 1)
+        fb_rows = jnp.where(valid, rows[cp], nrows)
+        fb_upd = (upd[cp] *
+                  valid[:, None].astype(upd.dtype)).astype(out_dtype)
+        return out.at[fb_rows].add(fb_upd)
+
+    def full(out):
+        fb_rows = jnp.where(out_mask, rows, nrows)
+        return out.at[fb_rows].add(
+            jnp.where(out_mask[:, None], upd, 0).astype(out_dtype))
+
+    return jax.lax.cond(n_out <= cap, compacted, full, out)
+
+
+def _col2im_banded(rows_t, upd_t, geom, out_dtype):
+    """Banded deformable col2im: static windows + dense overlap-add.
+
+    The backward of the packed DCN gather must accumulate, for every
+    (group, tap), one update row per output pixel into the tile table.
+    XLA's general scatter runs this at ~17 GB/s (sorted sequential
+    RMW). This formulation removes the scatter entirely for in-window
+    points:
+
+    * points are chunked into **bands of r output rows** (raster
+      order), so a band's table rows live in a window whose start is
+      STATIC — the raster position is known at trace time; learned
+      offsets only jitter the row within the window (J pixels of
+      headroom; beyond that, `_fallback_add`);
+    * each band reduces onto its window with a one-hot
+      (NC, W) x (NC, lanes) MXU contraction;
+    * window application is a dense **overlap-add fold**: window
+      starts advance by a constant r*stride*tiles_x per band, so the
+      fold is ceil(W/stride_rows) static shifted adds, then a sum over
+      kernel taps at static per-tap shifts — no scatter, no
+      data-dependent control flow.
+
+    Args:
+        rows_t: tuple of dg*K arrays (n*P,) int32 table rows (g-major).
+        upd_t: tuple of dg*K (n*P, lanes) update rows.
+        geom: (n, dg, K, kw, h, out_h, out_w, tiles_x, stride, padding,
+            dilation) static ints describing the fwd gather.
+        out_dtype: table dtype.
+
+    Returns:
+        (nrows, lanes) accumulated gradient.
+    """
+    (n, dg, K, kw, h, out_h, out_w, tiles_x, stride, padding,
+     dilation) = geom
+    lanes = upd_t[0].shape[1]
+    nrows = n * dg * h * tiles_x
+    T = dg * K
+    J = 7                       # in-window offset headroom (pixels)
+    r = 8                       # output rows per band
+    while r > 1 and out_h % r:
+        r //= 2
+    NC = r * out_w
+    B = out_h // r
+    W = (r * stride + 2 * J + dilation * 2 + 2) * tiles_x
+    blk = h * tiles_x           # rows of one (image, group) block
+    if n * out_h * out_w < 4 * NC or W >= blk or NC < 128:
+        # no exploitable banding: plain scatter
+        rows = jnp.concatenate(rows_t)
+        upd = jnp.concatenate(upd_t, axis=0)
+        return (jnp.zeros((nrows, lanes), jnp.float32)
+                .at[rows].add(upd.astype(jnp.float32)).astype(out_dtype))
+
+    # static window starts, block-relative: band b of tap (i, j) covers
+    # ty in [b*r*stride - padding + i*dilation - J, ... + W/tiles_x)
+    i_of_t = np.repeat(np.arange(K) // kw, 1)          # tap row index
+    s_rel = ((np.arange(B) * r * stride - padding - J)[None, :] +
+             (i_of_t * dilation)[:, None]) * tiles_x   # (K, B) static
+    rows_all = jnp.stack(rows_t).reshape(T, n, B, NC)
+    upd_all = jnp.stack(upd_t).reshape(T, n, B, NC, lanes)
+    # block-relative rows; the (image, group) base is static per stream
+    base = (np.arange(n)[:, None] * dg +
+            np.arange(dg)[None, :]) * blk              # (n, dg)
+    base = base.transpose(1, 0).reshape(dg, 1, n, 1)   # g-major like T
+    base = np.repeat(base, K, axis=1).reshape(T, n, 1)
+    rel = (rows_all - jnp.asarray(base[..., None], jnp.int32) -
+           jnp.asarray(s_rel.reshape(1, K, 1, B, 1), jnp.int32)
+           .repeat(dg, 0).reshape(T, 1, B, 1))
+    inw = (rel >= 0) & (rel < W)
+    onehot = jnp.where(
+        inw[..., None],
+        rel[..., None] == jnp.arange(W, dtype=rel.dtype),
+        False).astype(upd_all[0].dtype)
+    # (T*n*B, NC, W)^T x (T*n*B, NC, lanes) -> windows on the MXU
+    win = jnp.einsum('cnw,cnl->cwl',
+                     onehot.reshape(T * n * B, NC, W),
+                     upd_all.reshape(T * n * B, NC, lanes),
+                     preferred_element_type=jnp.float32)
+    win = win.reshape(T, n, B, W, lanes).astype(out_dtype)
+
+    # overlap-add over bands: starts advance by a constant delta, so
+    # the fold is ceil(W/delta) static shifted adds
+    delta = r * stride * tiles_x
+    strip_len = (B - 1) * delta + W
+    strip = jnp.zeros((T * n, strip_len + delta, lanes), out_dtype)
+    winf = win.reshape(T * n, B, W, lanes)
+    for j0 in range(0, W, delta):
+        seg = winf[:, :, j0:j0 + delta, :]
+        if seg.shape[2] < delta:  # tail segment narrower than delta
+            seg = jnp.pad(seg, ((0, 0), (0, 0),
+                                (0, delta - seg.shape[2]), (0, 0)))
+        strip = strip.at[:, j0:j0 + B * delta, :].add(
+            seg.reshape(T * n, B * delta, lanes))
+    strip = strip[:, :strip_len, :]
+    # reduce over kernel taps at their static row shifts
+    f0 = int(s_rel[:, 0].min())
+    f1 = int(s_rel[:, 0].max()) + strip_len
+    flen = max(f1 - f0, blk - f0)
+    strip = strip.reshape(dg, K, n, strip_len, lanes)
+    blocks = jnp.zeros((dg, n, flen, lanes), out_dtype)
+    for k in range(K):
+        o = int(s_rel[k, 0]) - f0
+        blocks = blocks + jnp.pad(
+            strip[:, k], ((0, 0), (0, 0),
+                          (o, flen - o - strip_len), (0, 0)))
+    blocks = blocks[:, :, -f0:-f0 + blk, :]        # crop to block rows
+    table = blocks.transpose(1, 0, 2, 3).reshape(nrows, lanes)
+
+    out = jnp.concatenate([table, jnp.zeros((1, lanes), out_dtype)])
+    out = _fallback_add(out, jnp.concatenate(rows_t),
+                        jnp.concatenate(upd_t, axis=0),
+                        ~inw.reshape(-1), nrows, out_dtype)
+    return out[:nrows]
+
+
+def _expand_cslot(cslot, c_per):
+    """(M, 2, PX) slot coefficients -> (M, 2*PX*c_per) lane weights."""
+    m, two, px = cslot.shape
+    return jnp.broadcast_to(cslot[:, :, :, None],
+                            (m, two, px, c_per)).reshape(m, two * px * c_per)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_blend(static, tab, rows_t, cslot_t):
+    """Row-gather + bilinear-blend for every (group, tap), with a
+    col2im backward.
+
+    Forward is identical to the inline formulation (XLA fuses each
+    gather into its blend). The custom backward replaces XLA's
+    per-(group, tap) sorted scatters — the dominant cost of a DCN train
+    step (~90 ms, 17 GB/s effective on v5e) — with one windowed one-hot
+    MXU col2im (`_col2im_add`). First-order only: reverse-over-reverse
+    through this op is not defined (nothing in the framework
+    second-differentiates a DCN; set EDVR_TPU_DCN_COL2IM=0 to restore
+    plain autodiff if that ever changes).
+
+    Args:
+        static: (c_per, span_rows) hashables for the backward.
+        tab: (nrows, lanes) packed tile table.
+        rows_t: tuple of (M,) int32 row indices, one per (group, tap).
+        cslot_t: tuple of (M, 2, PX) blend coefficients (mask and
+            corner validity folded in).
+
+    Returns:
+        tuple of (M, lanes) blended gather results.
+    """
+    c_per, _ = static
+    return tuple(
+        jnp.take(tab, r, axis=0) * _expand_cslot(c, c_per)
+        for r, c in zip(rows_t, cslot_t))
+
+
+def _gather_blend_fwd(static, tab, rows_t, cslot_t):
+    return (_gather_blend(static, tab, rows_t, cslot_t),
+            (tab, rows_t, cslot_t))
+
+
+def _gather_blend_bwd(static, res, dpieces):
+    c_per, geom = static
+    tab, rows_t, cslot_t = res
+    dcslots, dgs = [], []
+    for r, c, dp in zip(rows_t, cslot_t, dpieces):
+        # regather (cheap fast-path gather) instead of saving G
+        g_rows = jnp.take(tab, r, axis=0)
+        prod = (dp * g_rows).reshape(dp.shape[0], c.shape[1], c.shape[2],
+                                     c_per)
+        dcslots.append(prod.sum(-1).astype(c.dtype))
+        dgs.append(dp * _expand_cslot(c, c_per))
+    dtab = _col2im_banded(rows_t, dgs, geom, tab.dtype)
+    rows_ct = tuple(np.zeros(r.shape, dtype=jax.dtypes.float0)
+                    for r in rows_t)
+    return dtab, rows_ct, tuple(dcslots)
+
+
+_gather_blend.defvjp(_gather_blend_fwd, _gather_blend_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _band_apply(static, tab4, rows, cs, wexp):
+    """Banded-kernel DCN core: (table, rows, coeffs, weights) -> flat out.
+
+    Forward runs the Pallas one-hot band kernel
+    (edvr_tpu/ops/dcn_band.py) plus an exact compacted patch for
+    out-of-window points (rank-windowed while_loop; exact for any
+    outlier count). Backward is the XLA regather + col2im used by the
+    gather path (`_gather_blend_bwd` machinery), extended with the
+    in-kernel GEMM's weight gradient. First-order only.
+
+    Args:
+        static: (BandGeom, 1-D col2im geom tuple, c_per).
+        tab4: (n, dg, h, tiles_x, lanes) tile table (etype).
+        rows: (T, n, P) int32 absolute table rows, T = dg*K g-major.
+        cs: (T, n, P, slots) compact blend coefficients (etype).
+        wexp: (K, dg, lanes, cout) slot-tiled weights (etype).
+
+    Returns:
+        (n*P, cout) float32.
+    """
+    from edvr_tpu.ops import dcn_band
+    bgeom, geom1d, c_per = static
+    rel, csb, inw = dcn_band.band_prep(bgeom, rows, cs)
+    out5 = dcn_band.band_forward(bgeom, tab4, rel, csb, wexp)
+    out_flat = dcn_band.unband(bgeom, out5).reshape(-1, bgeom.cout)
+    T, n, P = rows.shape
+    cap = max(1024, (T * n * P) // 64)
+    tab = tab4.reshape(-1, tab4.shape[-1])
+    return dcn_band.outlier_patch(bgeom, out_flat, tab, rows, cs, inw,
+                                  wexp, tab.dtype, cap)
+
+
+def _band_apply_fwd(static, tab4, rows, cs, wexp):
+    return _band_apply(static, tab4, rows, cs, wexp), (tab4, rows, cs,
+                                                       wexp)
+
+
+def _band_apply_bwd(static, res, dout):
+    bgeom, geom1d, c_per = static
+    tab4, rows, cs, wexp = res
+    tab = tab4.reshape(-1, tab4.shape[-1])
+    etype = tab.dtype
+    T, n, P = rows.shape
+    M = n * P
+    K, dg, cout = bgeom.K, bgeom.dg, bgeom.cout
+    dout_e = dout.astype(etype)
+    dcs = []
+    dgs = []
+    rows_t = []
+    dw_list = []
+    for s in range(T):
+        g, k = divmod(s, K)
+        w_kg = wexp[k, g]                                  # (lanes, cout)
+        dpiece = jnp.dot(dout_e, w_kg.T,
+                         preferred_element_type=jnp.float32)  # (M, lanes)
+        r_flat = rows[s].reshape(-1)
+        G = jnp.take(tab, r_flat, axis=0)                  # (M, lanes)
+        cf = jnp.repeat(cs[s].reshape(M, -1), c_per, axis=1)  # (M, lanes)
+        blend = (G * cf.astype(etype))
+        dw_list.append(jnp.dot(blend.T, dout_e,
+                               preferred_element_type=jnp.float32))
+        prod = (dpiece * G).reshape(M, -1, c_per)
+        dcs.append(prod.sum(-1).astype(cs.dtype))
+        dgs.append((dpiece * cf).astype(etype))
+        rows_t.append(r_flat)
+    lanes = tab.shape[-1]
+    dwexp = jnp.stack(dw_list).reshape(
+        dg, K, lanes, wexp.shape[-1]).transpose(1, 0, 2, 3)
+    if os.environ.get('EDVR_TPU_DCN_COL2IM', '0') == '1':
+        dtab = _col2im_banded(tuple(rows_t), tuple(dgs), geom1d,
+                              tab.dtype)
+    else:
+        all_rows = jnp.concatenate(rows_t)
+        all_upd = jnp.concatenate(dgs, axis=0)
+        dtab = (jnp.zeros(tab.shape, jnp.float32)
+                .at[all_rows].add(all_upd.astype(jnp.float32))
+                .astype(tab.dtype))
+    dcs = jnp.stack(dcs).reshape(cs.shape)
+    rows_ct = np.zeros(rows.shape, dtype=jax.dtypes.float0)
+    return (dtab.reshape(tab4.shape), rows_ct, dcs,
+            dwexp.astype(wexp.dtype))
+
+
+_band_apply.defvjp(_band_apply_fwd, _band_apply_bwd)
 
 
 def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
@@ -272,15 +637,40 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
     # already fuses the gathers into the blend, so the kernel cannot cut
     # HBM traffic without an in-kernel gather primitive (which Mosaic
     # does not expose). Kept opt-in for future Mosaic gather support.
-    import os
     use_pallas = (os.environ.get('EDVR_TPU_DCN_PALLAS') == '1'
                   and etype == jnp.bfloat16
                   and jax.default_backend() == 'tpu')
+    # col2im backward (windowed one-hot MXU scatter) — see _gather_blend.
+    # Measured a WASH on the v5e train step (358 vs 357 ms/step at
+    # B4/64px) while adding ~9 min of compile time: the XLA einsum
+    # materializes the (M, W) one-hot in HBM, spending on bandwidth
+    # what it saves on scatter. Kept opt-in for study; the in-VMEM
+    # version of the same idea (dcn_band.py) is the shipped fast path.
+    use_col2im = (os.environ.get('EDVR_TPU_DCN_COL2IM', '0') == '1'
+                  and not use_pallas)
+    # banded one-hot Pallas forward (edvr_tpu/ops/dcn_band.py): replaces
+    # the row gathers with static-window MXU selection when eligible
+    bgeom = None
+    if (os.environ.get('EDVR_TPU_DCN_BAND', '1') == '1' and not use_pallas
+            and etype == jnp.bfloat16
+            and jax.default_backend() == 'tpu'):
+        from edvr_tpu.ops import dcn_band
+        bgeom = dcn_band.BandGeom(
+            n, h, tiles_x, out_h, out_w, kh, kw, dg, c_per, cout,
+            stride, padding, dilation,
+            r=int(os.environ.get('EDVR_TPU_DCN_BAND_R', '4')),
+            bw=int(os.environ.get('EDVR_TPU_DCN_BAND_BW', '112')),
+            J=int(os.environ.get('EDVR_TPU_DCN_BAND_J', '8')))
+        if not bgeom.eligible():
+            bgeom = None
+    use_band = bgeom is not None
     out = jnp.zeros((n * P, cout), dtype=acc_type)
     # statically unrolled (group, tap) loop: each iteration is one wide
     # row-gather + fused slot-select blend; a group's K tap blocks
     # concatenate along lanes into ONE (n*P, K*lanes) MXU GEMM,
     # minimizing accumulator round-trips (measured fastest structure)
+    rows_all, cslots_all = [], []
+    pieces_by_g = []
     for g in range(dg):
         pieces = []
         cs_pieces = []
@@ -298,7 +688,6 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
             ty = jnp.clip(y0i, 0, h - 1)
             tx = jnp.clip(jnp.floor_divide(x0i, SX), 0, tiles_x - 1)
             row = (ty * tiles_x + tx) + row_base[:, g]
-            G = jnp.take(tab, row.reshape(-1), axis=0)  # (n*P, lanes)
 
             ry0 = (y0i - ty).reshape(-1, 1)
             px0 = (x0i - SX * tx).reshape(-1, 1)
@@ -320,6 +709,15 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
                                jnp.where(slot_r == ry0s + 1, wy1, zero)) *
                      jnp.where(slot_p == px0s, wx0,
                                jnp.where(slot_p == px0s + 1, wx1, zero)))
+            if use_band:
+                rows_all.append(row)                       # (n, P)
+                cslots_all.append(cslot.reshape(n, P, 2 * PX))
+                continue
+            if use_col2im:
+                rows_all.append(row.reshape(-1))
+                cslots_all.append(cslot)
+                continue
+            G = jnp.take(tab, row.reshape(-1), axis=0)  # (n*P, lanes)
             if use_pallas:
                 pieces.append(G.astype(etype))
                 cs_pieces.append(cslot.reshape(-1, 2 * PX))
@@ -328,16 +726,37 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
                     cslot[:, :, :, None],
                     (cslot.shape[0], 2, PX, c_per)).reshape(-1, lanes)
                 pieces.append(G.astype(etype) * cfull)
-        wexp_g = wexp[:, g].reshape(K * lanes, cout)
-        if use_pallas:
-            from edvr_tpu.ops.dcn_pallas import blend_matmul_group_ad
-            out = blend_matmul_group_ad(
-                jnp.concatenate(pieces, axis=1),
-                jnp.concatenate(cs_pieces, axis=1), wexp_g, out, c_per)
-        else:
-            g_blend = jnp.concatenate(pieces, axis=1)  # (n*P, K*lanes)
-            out = out + jnp.dot(g_blend, wexp_g,
+        pieces_by_g.append((pieces, cs_pieces))
+
+    if use_band:
+        geom1d = (n, dg, K, kw, h, out_h, out_w, tiles_x, stride, padding,
+                  dilation)
+        out = _band_apply((bgeom, geom1d, c_per),
+                          tab.reshape(n, dg, h, tiles_x, lanes),
+                          jnp.stack(rows_all), jnp.stack(cslots_all), wexp)
+    elif use_col2im:
+        geom = (n, dg, K, kw, h, out_h, out_w, tiles_x, stride, padding,
+                dilation)
+        all_pieces = _gather_blend((c_per, geom), tab, tuple(rows_all),
+                                   tuple(cslots_all))
+        for g in range(dg):
+            g_blend = jnp.concatenate(all_pieces[g * K:(g + 1) * K],
+                                      axis=1)  # (n*P, K*lanes)
+            out = out + jnp.dot(g_blend, wexp[:, g].reshape(K * lanes, cout),
                                 preferred_element_type=acc_type)
+    else:
+        for g in range(dg):
+            pieces, cs_pieces = pieces_by_g[g]
+            wexp_g = wexp[:, g].reshape(K * lanes, cout)
+            if use_pallas:
+                from edvr_tpu.ops.dcn_pallas import blend_matmul_group_ad
+                out = blend_matmul_group_ad(
+                    jnp.concatenate(pieces, axis=1),
+                    jnp.concatenate(cs_pieces, axis=1), wexp_g, out, c_per)
+            else:
+                g_blend = jnp.concatenate(pieces, axis=1)  # (n*P, K*lanes)
+                out = out + jnp.dot(g_blend, wexp_g,
+                                    preferred_element_type=acc_type)
 
     out = out.reshape(n, out_h, out_w, cout).astype(x.dtype)
     if bias is not None:

@@ -22,5 +22,5 @@ __all__ = [
     'MessageLogger', 'get_env_info', 'get_root_logger', 'init_tb_logger',
     'init_wandb_logger', 'check_resume', 'get_time_str', 'make_exp_dirs',
     'mkdir_and_rename', 'scandir', 'set_random_seed', 'sizeof_fmt',
-    'dict2str', 'parse'
+    'dict2str', 'parse', 'FileClient'
 ]
