@@ -318,71 +318,134 @@ _gather_blend.defvjp(_gather_blend_fwd, _gather_blend_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _band_apply(static, tab4, rows, cs, wexp):
-    """Banded-kernel DCN core: (table, rows, coeffs, weights) -> flat out.
+def _band_apply(static, tab4, oxm, rows, inw, wexp):
+    """Banded-kernel DCN core: (table, offsets+mask, weights) -> out.
 
     Forward runs the Pallas one-hot band kernel
-    (edvr_tpu/ops/dcn_band.py) plus an exact compacted patch for
-    out-of-window points (rank-windowed while_loop; exact for any
-    outlier count). Backward is the XLA regather + col2im used by the
-    gather path (`_gather_blend_bwd` machinery), extended with the
-    in-kernel GEMM's weight gradient. First-order only.
+    (edvr_tpu/ops/dcn_band.py), which computes the bilinear/mask
+    coefficients in-kernel from the packed offsets, plus an exact
+    compacted patch for out-of-window points (rank-windowed while_loop;
+    exact for any outlier count). Backward regathers the sampled rows
+    (XLA gather), reconstructs the coefficients, and closes the chain
+    with the analytic coordinate gradient (the reference CUDA
+    col2im_coord, deform_conv_cuda_kernel.cu:374, in closed form).
+    First-order only.
 
     Args:
-        static: (BandGeom, 1-D col2im geom tuple, c_per).
+        static: (BandGeom, 1-D col2im geom tuple, c_per, interpret).
         tab4: (n, dg, h, tiles_x, lanes) tile table (etype).
-        rows: (T, n, P) int32 absolute table rows, T = dg*K g-major.
-        cs: (T, n, P, slots) compact blend coefficients (etype).
+        oxm: (dg, n, Hp, 3K, Wp) float32 packed offsets+mask
+            (dcn_band.pack_oxm).
+        rows: (T, n, P) int32 absolute table rows (non-diff; from
+            dcn_band.sample_rows_inw, used by the patch and backward).
+        inw: (T, n, P) bool in-window mask (non-diff).
         wexp: (K, dg, lanes, cout) slot-tiled weights (etype).
 
     Returns:
         (n*P, cout) float32.
     """
     from edvr_tpu.ops import dcn_band
-    bgeom, geom1d, c_per = static
-    rel, csb, inw = dcn_band.band_prep(bgeom, rows, cs)
-    out5 = dcn_band.band_forward(bgeom, tab4, rel, csb, wexp)
-    out_flat = dcn_band.unband(bgeom, out5).reshape(-1, bgeom.cout)
+    bgeom, geom1d, c_per, interpret = static
+    out5 = dcn_band.band_forward(bgeom, tab4, oxm, wexp,
+                                 interpret=interpret)
+    n_, By, Bx, NC, cout = out5.shape
+    out = out5.reshape(n_, By, Bx, bgeom.r, bgeom.bw, cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n_, By * bgeom.r, Bx * bgeom.bw, cout)
+    out_flat = out[:, :bgeom.out_h, :bgeom.out_w].reshape(-1, cout)
     T, n, P = rows.shape
     cap = max(1024, (T * n * P) // 64)
     tab = tab4.reshape(-1, tab4.shape[-1])
-    return dcn_band.outlier_patch(bgeom, out_flat, tab, rows, cs, inw,
+    return dcn_band.outlier_patch(bgeom, out_flat, tab, rows, oxm, inw,
                                   wexp, tab.dtype, cap)
 
 
-def _band_apply_fwd(static, tab4, rows, cs, wexp):
-    return _band_apply(static, tab4, rows, cs, wexp), (tab4, rows, cs,
-                                                       wexp)
+def _band_apply_fwd(static, tab4, oxm, rows, inw, wexp):
+    return (_band_apply(static, tab4, oxm, rows, inw, wexp),
+            (tab4, oxm, rows, inw, wexp))
 
 
 def _band_apply_bwd(static, res, dout):
-    bgeom, geom1d, c_per = static
-    tab4, rows, cs, wexp = res
+    from edvr_tpu.ops import dcn_band
+    bgeom, geom1d, c_per, _ = static
+    tab4, oxm, rows, inw, wexp = res
+    oh, ow = bgeom.out_h, bgeom.out_w
     tab = tab4.reshape(-1, tab4.shape[-1])
     etype = tab.dtype
     T, n, P = rows.shape
     M = n * P
-    K, dg, cout = bgeom.K, bgeom.dg, bgeom.cout
+    K, dg = bgeom.K, bgeom.dg
+    PX = bgeom.SX + 1
+    dil = bgeom.dilation
+    pos_y, pos_x = dcn_band._pos_grids(bgeom)
+    posy_b = jnp.broadcast_to(pos_y[None], (n, P)).reshape(M)
+    posx_b = jnp.broadcast_to(pos_x[None], (n, P)).reshape(M)
+    slot_r = jnp.arange(2, dtype=jnp.int32)[None, :, None]
+    slot_p = jnp.arange(PX, dtype=jnp.int32)[None, None, :]
     dout_e = dout.astype(etype)
-    dcs = []
+    d_oxm = jnp.zeros(oxm.shape, oxm.dtype)
     dgs = []
     rows_t = []
     dw_list = []
     for s in range(T):
         g, k = divmod(s, K)
+        i, j = divmod(k, bgeom.kw)
+        dy_s = dcn_band.unband_channel(
+            bgeom, oxm[g, :, :, :, 2 * k, :]).reshape(M)
+        dx_s = dcn_band.unband_channel(
+            bgeom, oxm[g, :, :, :, 2 * k + 1, :]).reshape(M)
+        m_s = dcn_band.unband_channel(
+            bgeom, oxm[g, :, :, :, 2 * K + k, :]).reshape(M)
+        pc = dcn_band.point_coeffs(bgeom, dy_s + i * dil, dx_s + j * dil,
+                                   m_s, posy_b, posx_b)
+        wy_sel = jnp.where(
+            slot_r == pc['ry0'][:, None, None], pc['wy0'][:, None, None],
+            jnp.where(slot_r == pc['ry0'][:, None, None] + 1,
+                      pc['wy1'][:, None, None], 0.0))      # (M, 2, 1)
+        wx_sel = jnp.where(
+            slot_p == pc['px0'][:, None, None], pc['wx0'][:, None, None],
+            jnp.where(slot_p == pc['px0'][:, None, None] + 1,
+                      pc['wx1'][:, None, None], 0.0))      # (M, 1, PX)
+        cslot = wy_sel * wx_sel                            # (M, 2, PX)
+        cf = jnp.repeat(cslot.reshape(M, -1), c_per, axis=1)
+
         w_kg = wexp[k, g]                                  # (lanes, cout)
         dpiece = jnp.dot(dout_e, w_kg.T,
                          preferred_element_type=jnp.float32)  # (M, lanes)
         r_flat = rows[s].reshape(-1)
         G = jnp.take(tab, r_flat, axis=0)                  # (M, lanes)
-        cf = jnp.repeat(cs[s].reshape(M, -1), c_per, axis=1)  # (M, lanes)
         blend = (G * cf.astype(etype))
         dw_list.append(jnp.dot(blend.T, dout_e,
                                preferred_element_type=jnp.float32))
         prod = (dpiece * G).reshape(M, -1, c_per)
-        dcs.append(prod.sum(-1).astype(cs.dtype))
+        dcslot = prod.sum(-1).reshape(M, 2, PX)            # f32
         dgs.append((dpiece * cf).astype(etype))
         rows_t.append(r_flat)
+
+        # analytic coordinate/mask gradient (col2im_coord):
+        # cslot[rs, ps] = wy_sel(rs) * wx_sel(ps) with
+        # wy0 = (1-fy)*vy0*m, wy1 = fy*vy1*m, wx0 = (1-fx)*vx0,
+        # wx1 = fx*vx1; slot indices are piecewise-constant (grad 0)
+        dwy = (dcslot * wx_sel).sum(2)                     # (M, 2)
+        dwx = (dcslot * wy_sel).sum(1)                     # (M, PX)
+        dwy0, dwy1 = dwy[:, 0], dwy[:, 1]
+        ps = jnp.arange(PX, dtype=jnp.int32)[None, :]
+        dwx0 = (dwx * (ps == pc['px0'][:, None])).sum(1)
+        dwx1 = (dwx * (ps == pc['px0'][:, None] + 1)).sum(1)
+        d_dy = (-dwy0 * pc['vy0'] + dwy1 * pc['vy1']) * m_s
+        d_dx = -dwx0 * pc['vx0'] + dwx1 * pc['vx1']
+        d_m = (dwy0 * (1 - pc['fy']) * pc['vy0'] +
+               dwy1 * pc['fy'] * pc['vy1'])
+        d_oxm = d_oxm.at[g, :, :, :, 2 * k, :].set(
+            dcn_band.band_channel(
+                bgeom, d_dy.reshape(n, oh, ow)).astype(oxm.dtype))
+        d_oxm = d_oxm.at[g, :, :, :, 2 * k + 1, :].set(
+            dcn_band.band_channel(
+                bgeom, d_dx.reshape(n, oh, ow)).astype(oxm.dtype))
+        d_oxm = d_oxm.at[g, :, :, :, 2 * K + k, :].set(
+            dcn_band.band_channel(
+                bgeom, d_m.reshape(n, oh, ow)).astype(oxm.dtype))
+
     lanes = tab.shape[-1]
     dwexp = jnp.stack(dw_list).reshape(
         dg, K, lanes, wexp.shape[-1]).transpose(1, 0, 2, 3)
@@ -395,9 +458,9 @@ def _band_apply_bwd(static, res, dout):
         dtab = (jnp.zeros(tab.shape, jnp.float32)
                 .at[all_rows].add(all_upd.astype(jnp.float32))
                 .astype(tab.dtype))
-    dcs = jnp.stack(dcs).reshape(cs.shape)
     rows_ct = np.zeros(rows.shape, dtype=jax.dtypes.float0)
-    return (dtab.reshape(tab4.shape), rows_ct, dcs,
+    inw_ct = np.zeros(inw.shape, dtype=jax.dtypes.float0)
+    return (dtab.reshape(tab4.shape), d_oxm, rows_ct, inw_ct,
             dwexp.astype(wexp.dtype))
 
 
@@ -651,17 +714,21 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
     # banded one-hot Pallas forward (edvr_tpu/ops/dcn_band.py): replaces
     # the row gathers with static-window MXU selection when eligible
     bgeom = None
+    band_interpret = os.environ.get('EDVR_TPU_DCN_BAND_INTERPRET') == '1'
     if (os.environ.get('EDVR_TPU_DCN_BAND', '1') == '1' and not use_pallas
-            and etype == jnp.bfloat16
-            and jax.default_backend() == 'tpu'):
+            and ((etype == jnp.bfloat16
+                  and jax.default_backend() == 'tpu')
+                 or band_interpret)):
         from edvr_tpu.ops import dcn_band
         bgeom = dcn_band.BandGeom(
             n, h, tiles_x, out_h, out_w, kh, kw, dg, c_per, cout,
             stride, padding, dilation,
-            r=int(os.environ.get('EDVR_TPU_DCN_BAND_R', '4')),
-            bw=int(os.environ.get('EDVR_TPU_DCN_BAND_BW', '112')),
-            J=int(os.environ.get('EDVR_TPU_DCN_BAND_J', '8')))
-        if not bgeom.eligible():
+            r=int(os.environ.get('EDVR_TPU_DCN_BAND_R', '8')),
+            bw=int(os.environ.get('EDVR_TPU_DCN_BAND_BW', '64')),
+            J=int(os.environ.get('EDVR_TPU_DCN_BAND_J', '4')),
+            w_pix=w)
+        min_p = int(os.environ.get('EDVR_TPU_DCN_BAND_MIN_P', '16384'))
+        if not bgeom.eligible() or out_h * out_w < min_p:
             bgeom = None
     use_band = bgeom is not None
     out = jnp.zeros((n * P, cout), dtype=acc_type)
@@ -669,6 +736,28 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
     # row-gather + fused slot-select blend; a group's K tap blocks
     # concatenate along lanes into ONE (n*P, K*lanes) MXU GEMM,
     # minimizing accumulator round-trips (measured fastest structure)
+    if use_band:
+        # the banded Pallas kernel computes the bilinear coefficients
+        # in-kernel from the packed offsets (earlier versions
+        # materialized per-stream index/coefficient arrays here —
+        # 763 MB and ~28 ms of layout copies at the EDVR-M L1 shape);
+        # only the vectorized row/in-window prep runs in XLA
+        from edvr_tpu.ops import dcn_band
+        oxm = dcn_band.pack_oxm(
+            bgeom, dy.astype(jnp.float32), dx.astype(jnp.float32),
+            msk.astype(jnp.float32))
+        rows_b, inw_b = dcn_band.sample_rows_inw(
+            bgeom, dy.astype(jnp.float32), dx.astype(jnp.float32))
+        geom1d = (n, dg, K, kw, h, out_h, out_w, tiles_x, stride,
+                  padding, dilation)
+        out = _band_apply((bgeom, geom1d, c_per, band_interpret),
+                          tab.reshape(n, dg, h, tiles_x, lanes),
+                          oxm, rows_b, inw_b, wexp)
+        out = out.reshape(n, out_h, out_w, cout).astype(x.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
+
     rows_all, cslots_all = [], []
     pieces_by_g = []
     for g in range(dg):
@@ -709,10 +798,6 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
                                jnp.where(slot_r == ry0s + 1, wy1, zero)) *
                      jnp.where(slot_p == px0s, wx0,
                                jnp.where(slot_p == px0s + 1, wx1, zero)))
-            if use_band:
-                rows_all.append(row)                       # (n, P)
-                cslots_all.append(cslot.reshape(n, P, 2 * PX))
-                continue
             if use_col2im:
                 rows_all.append(row.reshape(-1))
                 cslots_all.append(cslot)
@@ -728,13 +813,7 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
                 pieces.append(G.astype(etype) * cfull)
         pieces_by_g.append((pieces, cs_pieces))
 
-    if use_band:
-        geom1d = (n, dg, K, kw, h, out_h, out_w, tiles_x, stride, padding,
-                  dilation)
-        out = _band_apply((bgeom, geom1d, c_per),
-                          tab.reshape(n, dg, h, tiles_x, lanes),
-                          jnp.stack(rows_all), jnp.stack(cslots_all), wexp)
-    elif use_col2im:
+    if use_col2im:
         geom = (n, dg, K, kw, h, out_h, out_w, tiles_x, stride, padding,
                 dilation)
         all_pieces = _gather_blend((c_per, geom), tab, tuple(rows_all),

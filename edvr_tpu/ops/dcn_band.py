@@ -14,26 +14,44 @@ window whose start is STATIC (known at trace time) — the learned
 offsets only jitter the row within the window (J pixels of headroom).
 Per (image, band, group) grid step the kernel:
 
-  1. DMAs the (span_y, span_tx, 128) table window HBM->VMEM once,
-     shared by all K taps;
-  2. builds each tap's (W, NC) one-hot selection matrix in VMEM from an
-     iota/compare against the window-relative row indices (never
-     touching HBM — the reason this must be Pallas and not XLA, which
-     would materialize M*W one-hot bytes);
-  3. gathers by MXU contraction onehot^T x window -> (NC, 128) rows;
-  4. expands the compact 16-slot blend coefficients to 128 lanes with a
-     constant one-hot matmul and applies the bilinear blend;
-  5. contracts against the tap's slot-tiled weights, accumulating the
-     (NC, cout) band output across taps and groups in VMEM (revisited
-     output block), written to HBM once per band.
+  1. DMAs the (span_y, span_tx, 128) table window HBM->VMEM, shared by
+     all K taps and double-buffered across grid steps (the window start
+     is element-granular and band windows overlap, which BlockSpec
+     pipelining cannot express — hence the manual descriptors);
+  2. computes, from the raw offsets/mask block, the fractional sample
+     position, tile coordinates, bilinear weights, and window-relative
+     indices of each tap IN-KERNEL (earlier versions materialized
+     per-(group, tap) index/coefficient streams in HBM — 763 MB at the
+     EDVR-M L1 shape, ~28 ms/call of pure layout copies, and enough
+     buffers to OOM HBM at batch 5);
+  3. builds each tap's (W, NC) one-hot selection matrix in VMEM as the
+     outer product of a y-row one-hot and an x-tile one-hot (the
+     iota/compares cost (span_y + span_tx) * NC instead of W * NC and
+     the product is one VPU multiply pass); the one-hot never touches
+     HBM — the reason this must be Pallas and not XLA;
+  4. gathers by MXU contraction onehot^T x window -> (NC, 128) rows;
+  5. expands the bilinear weights over the 128 (row, pixel, channel)
+     lane slots with constant lane masks (pure broadcasts — no
+     relayouts), blends, and contracts against the tap's slot-tiled
+     weights, accumulating the (r, bw, cout) band output across taps
+     and groups in a revisited VMEM output block.
 
 Points whose learned offset exceeds the J-pixel headroom fall outside
 the window, produce an all-zero one-hot row, and contribute 0; the
-caller patches them up exactly with a compacted gather/scatter pass
-(`outlier_patch` below), so the result is exact for every input.
+caller patches them up exactly with `outlier_patch` (rank-windowed
+while_loop -> exact for ANY outlier count with one patch graph in the
+HLO), so the result is exact for every input.
 
-Replaces the gather's O(M * 512 B) HBM traffic with O(M/NC * W * 256 B)
-window traffic (shared across taps) + a dense MXU term 2*M*W*128 FLOPs.
+Mosaic constraints (discovered the hard way, see docs/TPUDesign.md):
+window slices on the tiled tile-column dim must be 8-aligned in offset
+and extent — the table is padded to a multiple of 8 tiles, starts are
+floored to 8 with the span absorbing the drift, and start/8 is passed
+through SMEM so the divisibility is provable; the table must be pinned
+to pltpu.HBM or the compiler VMEM-places it and the unaligned dynamic
+slice fails to lower; block shapes must keep their trailing dims
+(8, 128)-divisible or span the array dim, which is why the offsets ride
+in a (dg, n, Hp, 3K, Wp) layout (3K and Wp-blocks span/divide cleanly
+and per-tap channels are STATIC sublane slices).
 
 Reference semantics: basicsr/models/ops/dcn/src/deform_conv_cuda_kernel.cu
 (modulated deformable im2col + GEMM); parity is tested against the XLA
@@ -55,9 +73,11 @@ class BandGeom:
     """Static geometry of the banded DCN kernel (hashable)."""
 
     def __init__(self, n, h, tiles_x, out_h, out_w, kh, kw, dg, c_per,
-                 cout, stride, padding, dilation, r=4, bw=112, J=8):
+                 cout, stride, padding, dilation, r=8, bw=64, J=4,
+                 w_pix=None):
         SX = 128 // (2 * c_per) - 1
         self.n, self.h, self.tiles_x = n, h, tiles_x
+        self.w_pix = w_pix if w_pix is not None else SX * tiles_x
         self.out_h, self.out_w = out_h, out_w
         self.kh, self.kw, self.K = kh, kw, kh * kw
         self.dg, self.c_per, self.cout = dg, c_per, cout
@@ -90,10 +110,10 @@ class BandGeom:
         self.start_tx = ((raw_tx // 8) * 8).astype(np.int32)
 
     def key(self):
-        return (self.n, self.h, self.tiles_x, self.out_h, self.out_w,
-                self.kh, self.kw, self.dg, self.c_per, self.cout,
-                self.stride, self.padding, self.dilation, self.r,
-                self.bw, self.J)
+        return (self.n, self.h, self.tiles_x, self.w_pix, self.out_h,
+                self.out_w, self.kh, self.kw, self.dg, self.c_per,
+                self.cout, self.stride, self.padding, self.dilation,
+                self.r, self.bw, self.J)
 
     def __hash__(self):
         return hash(self.key())
@@ -105,139 +125,330 @@ class BandGeom:
         """Whether the banded kernel applies.
 
         Needs enough rows/tiles to window, bands small enough for VMEM,
-        and a LARGE spatial problem: at train-crop sizes (64px, P=4k)
-        the gather path wins — band prep/patch fixed costs exceed the
-        gather saving and the extra graphs push the train-step compile
-        from ~10 to ~19 min (measured 378 vs 356 ms/step). At
-        inference sizes (P>=16k) band wins (80 vs 100 ms at the EDVR-M
-        L1 shape).
+        an exact in-kernel integer division (width bound), and a LARGE
+        spatial problem: at train-crop sizes (64px, P=4k) the gather
+        path wins — band fixed costs exceed the gather saving and the
+        extra graphs slow the train-step compile substantially. At
+        inference sizes (P>=16k) band wins.
         """
         return (self.h >= self.span_y
                 and self.tiles_x_pad >= self.span_tx
                 and self.out_h * self.out_w >= 16384
-                and self.W <= 4096 and self.NC <= 1024)
+                and self.W <= 4096 and self.NC <= 1024
+                # the in-kernel mul-shift floordiv is exact to 8191
+                and self.SX * self.tiles_x <= 8191
+                # row-space point decode uses shifts: bw power of 2
+                and (self.bw & (self.bw - 1)) == 0
+                and self.NC % 128 == 0)
 
 
-def band_prep(geom, rows, cs):
-    """Re-band the stacked row/coefficient streams for the kernel.
+# magic multiplier for exact floor(x / SX) on 0 <= x <= 8191 via
+# (x * _DIV_MUL[SX]) >> 16
+def _div_magic(sx):
+    m = -(-(1 << 16) // sx)
+    assert all((x * m) >> 16 == x // sx for x in range(0, 8192, 1)), sx
+    return m
+
+
+def pack_oxm(geom, dy, dx, msk):
+    """Pack offsets and mask into the kernel's banded input layout.
+
+    The kernel computes everything in "row space" — every per-tap
+    quantity is a (1, NC) lane row, so the channel extraction is a
+    plain sublane slice and NO vector relayouts happen in-kernel. That
+    requires the points of a band contiguous on the minor dim, hence
+    this banded layout (the one transpose here, ~254 MB at the EDVR-M
+    L1 shape, replaces what used to be 763 MB of per-stream coefficient
+    materialization).
 
     Args:
         geom: BandGeom.
-        rows: (T, n, P) int32 absolute table rows, T = dg*K g-major.
-        cs: (T, n, P, 2*PX) blend coefficients (etype).
+        dy, dx: (n, dg, K, P) float offsets.
+        msk: (n, dg, K, P) float mask (pre-sigmoided).
 
     Returns:
-        rel: (n, dg, By, Bx, K, NC) int32 window-relative row index,
-            -1 for out-of-window (outlier) or grid-padding points.
-        csb: (n, dg, By, Bx, K, NC, 2*PX) etype coefficients.
-        inw: (T, n, P) bool in-window mask (False = needs patch).
+        (dg, n, By, Bx, 3K, NC) float32: channels [dy_0, dx_0, dy_1,
+        ..., dx_{K-1}, m_0..m_{K-1}] per (group, image, band).
     """
     g_ = geom
-    n, dg, K = g_.n, g_.dg, g_.K
-    PX = g_.SX + 1
-    P = g_.out_h * g_.out_w
-
-    blk = g_.h * g_.tiles_x
-    rows_blk = rows % blk                                   # strip (n, g)
-    ty = rows_blk // g_.tiles_x
-    tx = rows_blk - ty * g_.tiles_x
-    sy = jnp.asarray(np.repeat(g_.start_y, g_.r)[:g_.out_h])
-    stx = jnp.asarray(np.repeat(g_.start_tx, g_.bw)[:g_.out_w])
-    sy = jnp.broadcast_to(sy[:, None], (g_.out_h, g_.out_w)).reshape(P)
-    stx = jnp.broadcast_to(stx[None, :], (g_.out_h, g_.out_w)).reshape(P)
-    ry = ty - sy
-    rx = tx - stx
-    inw = ((ry >= 0) & (ry < g_.span_y) & (rx >= 0) & (rx < g_.span_tx))
-    rel = jnp.where(inw, ry * g_.span_tx + rx, -1)
-
-    # (T, n, P) -> (n, dg, K, out_h, out_w) -> banded
-    rel = rel.reshape(dg, K, n, g_.out_h, g_.out_w).transpose(2, 0, 1, 3, 4)
-    csb = cs.reshape(dg, K, n, g_.out_h, g_.out_w, 2 * PX)
-    csb = csb.transpose(2, 0, 1, 3, 4, 5)
+    n, dg, K, P = dy.shape
+    off = jnp.stack([dy, dx], axis=3).reshape(n, dg, 2 * K, P)
+    oxm = jnp.concatenate([off, msk], axis=2)       # (n, dg, 3K, P)
+    oxm = oxm.reshape(n, dg, 3 * K, g_.out_h, g_.out_w)
+    oxm = oxm.astype(jnp.float32)
     Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
     if Hp != g_.out_h or Wp != g_.out_w:
-        pad = ((0, 0),) * 3 + ((0, Hp - g_.out_h), (0, Wp - g_.out_w))
-        rel = jnp.pad(rel, pad, constant_values=-1)
-        csb = jnp.pad(csb, pad + ((0, 0),))
-    rel = rel.reshape(n, dg, K, g_.By, g_.r, g_.Bx, g_.bw)
-    rel = rel.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
-        n, dg, g_.By, g_.Bx, K, g_.NC)
-    csb = csb.reshape(n, dg, K, g_.By, g_.r, g_.Bx, g_.bw, 2 * PX)
-    csb = csb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
-        n, dg, g_.By, g_.Bx, K, g_.NC, 2 * PX)
-    return rel, csb, inw
+        oxm = jnp.pad(oxm, ((0, 0), (0, 0), (0, 0),
+                            (0, Hp - g_.out_h), (0, Wp - g_.out_w)))
+    oxm = oxm.reshape(n, dg, 3 * K, g_.By, g_.r, g_.Bx, g_.bw)
+    oxm = oxm.transpose(1, 0, 3, 5, 2, 4, 6).reshape(
+        dg, n, g_.By, g_.Bx, 3 * K, g_.NC)
+    return oxm
 
 
-def unband(geom, out5):
-    """(n, By, Bx, NC, cout) -> (n, out_h, out_w, cout)."""
+def unband_channel(geom, arr):
+    """(dg?, n, By, Bx, NC) banded channel -> (..., out_h, out_w)."""
     g_ = geom
-    out = out5.reshape(g_.n, g_.By, g_.Bx, g_.r, g_.bw, g_.cout)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
-        g_.n, g_.By * g_.r, g_.Bx * g_.bw, g_.cout)
-    return out[:, :g_.out_h, :g_.out_w]
+    lead = arr.shape[:-3]
+    a = arr.reshape(*lead, g_.By, g_.Bx, g_.r, g_.bw)
+    nd = a.ndim
+    perm = tuple(range(nd - 4)) + (nd - 4, nd - 2, nd - 3, nd - 1)
+    a = a.transpose(*perm).reshape(*lead, g_.By * g_.r, g_.Bx * g_.bw)
+    return a[..., :g_.out_h, :g_.out_w]
+
+
+def band_channel(geom, arr):
+    """(..., out_h, out_w) -> banded (..., By, Bx, NC) channel."""
+    g_ = geom
+    lead = arr.shape[:-2]
+    Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
+    if (Hp, Wp) != (g_.out_h, g_.out_w):
+        pad = ((0, 0),) * len(lead) + ((0, Hp - g_.out_h),
+                                       (0, Wp - g_.out_w))
+        arr = jnp.pad(arr, pad)
+    a = arr.reshape(*lead, g_.By, g_.r, g_.Bx, g_.bw)
+    nd = a.ndim
+    perm = tuple(range(nd - 4)) + (nd - 4, nd - 2, nd - 3, nd - 1)
+    return a.transpose(*perm).reshape(*lead, g_.By, g_.Bx, g_.NC)
+
+
+def sample_rows_inw(geom, dy, dx):
+    """Vectorized absolute table rows + in-window mask for all streams.
+
+    Mirrors the in-kernel position math (one fused elementwise graph —
+    NOT 72 unrolled stream graphs) for the outlier patch and the
+    backward regather.
+
+    Args:
+        dy, dx: (n, dg, K, P) float offsets.
+
+    Returns:
+        rows: (T, n, P) int32 absolute table rows (T = dg*K, g-major).
+        inw: (T, n, P) bool in-window mask.
+    """
+    g_ = geom
+    n, dg, K, P = dy.shape
+    pos_y, pos_x = _pos_grids(g_)
+    i_of = (np.arange(K) // g_.kw).astype(np.float32) * g_.dilation
+    j_of = (np.arange(K) % g_.kw).astype(np.float32) * g_.dilation
+    cy = pos_y[None, None, None] + i_of[None, None, :, None] + dy
+    cx = pos_x[None, None, None] + j_of[None, None, :, None] + dx
+    y0i = jnp.floor(cy).astype(jnp.int32)
+    x0i = jnp.floor(cx).astype(jnp.int32)
+    ty = jnp.clip(y0i, 0, g_.h - 1)
+    tx = jnp.clip(jnp.floor_divide(x0i, g_.SX), 0, g_.tiles_x - 1)
+    base = ((np.arange(n) * dg)[:, None] +
+            np.arange(dg)[None, :]).astype(np.int32) * (g_.h * g_.tiles_x)
+    rows = ty * g_.tiles_x + tx + jnp.asarray(base)[:, :, None, None]
+    sy, stx = _start_grids(g_)
+    ry = ty - sy[None, None, None]
+    rx = tx - stx[None, None, None]
+    inw = ((ry >= 0) & (ry < g_.span_y) & (rx >= 0) & (rx < g_.span_tx))
+    rows = rows.transpose(1, 2, 0, 3).reshape(dg * K, n, P)
+    inw = inw.transpose(1, 2, 0, 3).reshape(dg * K, n, P)
+    return rows, inw
+
+
+def _pos_grids(geom):
+    g_ = geom
+    P = g_.out_h * g_.out_w
+    by = np.arange(g_.out_h) * g_.stride - g_.padding
+    bx = np.arange(g_.out_w) * g_.stride - g_.padding
+    pos_y = np.broadcast_to(by[:, None], (g_.out_h, g_.out_w)).reshape(P)
+    pos_x = np.broadcast_to(bx[None, :], (g_.out_h, g_.out_w)).reshape(P)
+    return (jnp.asarray(pos_y.astype(np.float32)),
+            jnp.asarray(pos_x.astype(np.float32)))
+
+
+def _start_grids(geom):
+    g_ = geom
+    P = g_.out_h * g_.out_w
+    sy = np.repeat(geom.start_y, g_.r)[:g_.out_h]
+    stx = np.repeat(geom.start_tx, g_.bw)[:g_.out_w]
+    sy = np.broadcast_to(sy[:, None], (g_.out_h, g_.out_w)).reshape(P)
+    stx = np.broadcast_to(stx[None, :], (g_.out_h, g_.out_w)).reshape(P)
+    return jnp.asarray(sy.astype(np.int32)), jnp.asarray(stx.astype(np.int32))
+
+
+def point_coeffs(geom, dy, dx, m, pos_y, pos_x):
+    """Bilinear/mask weights + slot indices for a flat batch of points.
+
+    Same math as the kernel and the gather path, vectorized over any
+    leading shape. Used by the outlier patch and the backward.
+
+    Returns dict with fy, fx, y0i, x0i, ty, tx, px0, wy0, wy1, wx0,
+    wx1 (floats in dy's dtype) — cslot[rs, ps] =
+    wy_sel(rs) * wx_sel(ps) with wy_sel = [wy0 at ry0, wy1 at ry0+1],
+    wx_sel = [wx0 at px0, wx1 at px0+1].
+    """
+    g_ = geom
+    cy = pos_y + dy
+    cx = pos_x + dx
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    fy = cy - y0
+    fx = cx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    ty = jnp.clip(y0i, 0, g_.h - 1)
+    tx = jnp.clip(jnp.floor_divide(x0i, g_.SX), 0, g_.tiles_x - 1)
+    ry0 = y0i - ty
+    px0 = x0i - g_.SX * tx
+    vy0 = ((y0i >= 0) & (y0i <= g_.h - 1)).astype(fy.dtype)
+    vy1 = ((y0i + 1 >= 0) & (y0i + 1 <= g_.h - 1)).astype(fy.dtype)
+    vx0 = ((x0i >= 0) & (x0i <= g_.w_pix - 1)).astype(fy.dtype)
+    vx1 = ((x0i + 1 >= 0) & (x0i + 1 <= g_.w_pix - 1)).astype(fy.dtype)
+    return dict(fy=fy, fx=fx, ty=ty, tx=tx, ry0=ry0, px0=px0,
+                vy0=vy0, vy1=vy1, vx0=vx0, vx1=vx1,
+                wy0=(1 - fy) * vy0 * m, wy1=fy * vy1 * m,
+                wx0=(1 - fx) * vx0, wx1=fx * vx1)
 
 
 @functools.partial(jax.jit, static_argnames=('geom', 'interpret'))
-def band_forward(geom, tab4, rel, csb, wexp, interpret=False):
-    """Banded DCN forward: one-hot select + blend + tap GEMM, in VMEM.
+def band_forward(geom, tab4, oxm, wexp, interpret=False):
+    """Banded DCN forward: in-kernel coefficients + one-hot MXU select.
+
+    Fully "row-space": every per-tap quantity lives as a (1, NC) or
+    (x, NC) array with band points on lanes, the bilinear lane-slot
+    expansion uses sublane-iota selects on the TRANSPOSED gather result
+    (128, NC), and both MXU contractions keep NC on the non-contracted
+    side — zero vector relayouts in the whole kernel.
 
     Args:
         geom: BandGeom.
         tab4: (n, dg, h, tiles_x, 128) tile table (etype).
-        rel: (n, dg, By, Bx, K, NC) int32 window-relative rows (-1=skip).
-        csb: (n, dg, By, Bx, K, NC, 16) etype compact blend coeffs.
+        oxm: (dg, n, By, Bx, 3K, NC) float32 packed offsets+mask
+            (`pack_oxm`).
         wexp: (K, dg, 128, cout) slot-tiled weights (etype).
 
     Returns:
-        (n, By, Bx, NC, cout) float32 banded output (see `unband`).
+        (n, By, Bx, NC, cout) float32 banded output (`unband_channel`
+        per cout-slice, or reshape via the caller).
     """
     g_ = geom
     NC, W, K, cout = g_.NC, g_.W, g_.K, g_.cout
-    slots = 2 * (g_.SX + 1)
+    r, bw, dg = g_.r, g_.bw, g_.dg
+    By, Bx = g_.By, g_.Bx
+    span_y, span_tx = g_.span_y, g_.span_tx
+    c_per = g_.c_per
+    PX = g_.SX + 1
     etype = tab4.dtype
-
-    expand = np.zeros((slots, 128), np.float32)
-    for s in range(slots):
-        expand[s, s * g_.c_per:(s + 1) * g_.c_per] = 1.0
-    expand = jnp.asarray(expand, etype)
+    w_pix = g_.w_pix
+    div_mul = _div_magic(g_.SX)
+    bw_shift = bw.bit_length() - 1
+    assert bw == 1 << bw_shift, 'bw must be a power of two'
 
     if g_.tiles_x_pad != g_.tiles_x:
         tab4 = jnp.pad(tab4, ((0, 0), (0, 0), (0, 0),
                               (0, g_.tiles_x_pad - g_.tiles_x), (0, 0)))
 
     start_y = jnp.asarray(g_.start_y)
-    # starts on the tiled dim are 8-aligned by construction; pass them
-    # divided by 8 and rescale in-kernel so Mosaic can PROVE the slice
-    # offset divisible by the tiling
+    # tiled-dim starts are 8-aligned by construction; pass them divided
+    # by 8 and rescale in-kernel so Mosaic can PROVE divisibility
     start_tx8 = jnp.asarray(g_.start_tx // 8)
+    nsteps = g_.n * By * Bx * dg
 
-    def kernel(sy_ref, stx_ref, rel_ref, cs_ref, w_ref, e_ref, tab_ref,
-               out_ref, win_ref, sem_ref):
+    def kernel(sy_ref, stx_ref, oxm_ref, w_ref, tab_ref, out_ref,
+               win_ref, sem_ref):
         ni = pl.program_id(0)
         by = pl.program_id(1)
         bx = pl.program_id(2)
         gi = pl.program_id(3)
-        copy = pltpu.make_async_copy(
-            tab_ref.at[ni, gi, pl.ds(sy_ref[by], g_.span_y),
-                       pl.ds(stx_ref[bx] * 8, g_.span_tx), :],
-            win_ref, sem_ref)
-        copy.start()
-        copy.wait()
-        win = win_ref[:].reshape(W, 128)
+        step = ((ni * By + by) * Bx + bx) * dg + gi
+
+        def copy_for(ni2, by2, bx2, gi2, slot):
+            return pltpu.make_async_copy(
+                tab_ref.at[ni2, gi2, pl.ds(sy_ref[by2], span_y),
+                           pl.ds(stx_ref[bx2] * 8, span_tx), :],
+                win_ref.at[slot], sem_ref.at[slot])
+
+        def copy_step(st, slot):
+            gi2 = jax.lax.rem(st, dg)
+            r1 = jax.lax.div(st, dg)
+            bx2 = jax.lax.rem(r1, Bx)
+            r2 = jax.lax.div(r1, Bx)
+            by2 = jax.lax.rem(r2, By)
+            ni2 = jax.lax.div(r2, By)
+            return copy_for(ni2, by2, bx2, gi2, slot)
+
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _bootstrap():
+            copy_for(ni, by, bx, gi, slot).start()
+
+        @pl.when(step + 1 < nsteps)
+        def _prefetch():
+            copy_step(step + 1, 1 - slot).start()
+
+        copy_for(ni, by, bx, gi, slot).wait()
+        win = win_ref[slot].reshape(W, 128)
+
+        # static output-pixel base positions of this band (row space)
+        pn = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
+        yo = by * r + (pn >> bw_shift)
+        xo = bx * bw + (pn & (bw - 1))
+        posy = (yo * g_.stride - g_.padding).astype(jnp.float32)
+        posx = (xo * g_.stride - g_.padding).astype(jnp.float32)
+        sy_b = sy_ref[by]
+        stx_b = stx_ref[bx] * 8
+
+        # sublane slot ids for the transposed (128, NC) lane expansion
+        ls = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        ls_rs = ls // (PX * c_per)
+        ls_ps = (ls // c_per) % PX
+
+        iota_y = jax.lax.broadcasted_iota(jnp.int32, (span_y, NC), 0)
+        iota_x = jax.lax.broadcasted_iota(jnp.int32, (span_tx, NC), 0)
 
         acc = jnp.zeros((NC, cout), jnp.float32)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NC), 0)
         for k in range(K):
-            rel_k = rel_ref[0, 0, 0, 0, k, :]                 # (NC,)
-            onehot_t = (iota_w == rel_k[None, :]).astype(etype)  # (W, NC)
-            g_rows = jax.lax.dot_general(
-                onehot_t, win, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (NC, 128)
-            cfull = jnp.dot(cs_ref[0, 0, 0, 0, k], e_ref[:],
-                            preferred_element_type=jnp.float32)
-            blend = (g_rows * cfull).astype(etype)
-            acc = acc + jnp.dot(blend, w_ref[k, 0],
-                                preferred_element_type=jnp.float32)
+            i, j = divmod(k, g_.kw)
+            dy = oxm_ref[0, 0, 0, 0, 2 * k, :].reshape(1, NC)
+            dx = oxm_ref[0, 0, 0, 0, 2 * k + 1, :].reshape(1, NC)
+            m = oxm_ref[0, 0, 0, 0, 2 * K + k, :].reshape(1, NC)
+            cy = posy + i * g_.dilation + dy
+            cx = posx + j * g_.dilation + dx
+            y0 = jnp.floor(cy)
+            x0 = jnp.floor(cx)
+            fy = cy - y0
+            fx = cx - x0
+            y0i = y0.astype(jnp.int32)
+            x0i = x0.astype(jnp.int32)
+            ty = jnp.clip(y0i, 0, g_.h - 1)
+            xc = jnp.clip(x0i, 0, 8191)
+            tx = jnp.minimum((xc * div_mul) >> 16, g_.tiles_x - 1)
+            ry0 = y0i - ty
+            px0 = x0i - g_.SX * tx
+            vy0 = ((y0i >= 0) & (y0i <= g_.h - 1)).astype(jnp.float32)
+            vy1 = ((y0i + 1 >= 0) &
+                   (y0i + 1 <= g_.h - 1)).astype(jnp.float32)
+            vx0 = ((x0i >= 0) & (x0i <= w_pix - 1)).astype(jnp.float32)
+            vx1 = ((x0i + 1 >= 0) &
+                   (x0i + 1 <= w_pix - 1)).astype(jnp.float32)
+            wy0 = (1 - fy) * vy0 * m
+            wy1 = fy * vy1 * m
+            wx0 = (1 - fx) * vx0
+            wx1 = fx * vx1
+
+            oy = (iota_y == (ty - sy_b)).astype(etype)   # (span_y, NC)
+            ox = (iota_x == (tx - stx_b)).astype(etype)  # (span_tx, NC)
+            onehot = (oy[:, None, :] * ox[None, :, :]).reshape(W, NC)
+            gT = jax.lax.dot_general(
+                win, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (128, NC)
+
+            # transposed lane-slot expansion: selects keyed on the
+            # SUBLANE id against (1, NC) rows — pure broadcasts
+            wyE = jnp.where(ls_rs == ry0, wy0,
+                            jnp.where(ls_rs == ry0 + 1, wy1, 0.0))
+            wxE = jnp.where(ls_ps == px0, wx0,
+                            jnp.where(ls_ps == px0 + 1, wx1, 0.0))
+            blendT = (gT * wyE * wxE).astype(etype)      # (128, NC)
+            acc = acc + jax.lax.dot_general(
+                blendT, w_ref[k, 0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (NC, cout)
+
         acc = acc.reshape(1, 1, 1, NC, cout)
 
         @pl.when(gi == 0)
@@ -248,80 +459,114 @@ def band_forward(geom, tab4, rel, csb, wexp, interpret=False):
         def _acc():
             out_ref[...] = out_ref[...] + acc
 
-    grid = (g_.n, g_.By, g_.Bx, g_.dg)
+    grid = (g_.n, By, Bx, dg)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1, K, NC),
-                         lambda n, y, x, g: (n, g, y, x, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, K, NC, slots),
-                         lambda n, y, x, g: (n, g, y, x, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, 1, 3 * K, NC),
+                         lambda n, y, x, g: (g, n, y, x, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 1, 128, cout),
                          lambda n, y, x, g: (0, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, NC, cout),
                                lambda n, y, x, g: (n, y, x, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (g_.n, g_.By, g_.Bx, NC, cout), jnp.float32),
+            (g_.n, By, Bx, NC, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((g_.span_y, g_.span_tx, 128), etype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, span_y, span_tx, 128), etype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(start_y, start_tx8, rel, csb, wexp, expand, tab4)
+    )(start_y, start_tx8, oxm, wexp, tab4)
     return out
 
 
-def outlier_patch(geom, out_flat, tab, rows, cs, inw, wexp, etype, cap):
+def outlier_patch(geom, out_flat, tab, rows, oxm, inw, wexp, etype, cap):
     """Add the contributions of points the banded kernel skipped.
 
     Compacts the out-of-window points across every (group, tap) stream
     with a fixed-capacity nonzero, regathers their table rows with the
-    plain row gather, blends, and applies each stream's weights via
-    masked matmuls, scatter-adding into the flat output. Exact for ANY
-    outlier count: points are ranked (cumsum over the outlier mask) and
-    a lax.while_loop processes successive rank windows of `cap` points,
+    plain row gather, recomputes their bilinear coefficients from the
+    packed offsets, and applies each stream's weights via masked
+    matmuls, scatter-adding into the flat output. Exact for ANY outlier
+    count: points are ranked (cumsum over the outlier mask) and a
+    lax.while_loop processes successive rank windows of `cap` points,
     so the patch graph appears ONCE in the HLO no matter how
     pathological the offset field (an earlier design guarded overflow
     with a dense-recompute lax.cond branch, which doubled the DCN's HLO
     and pushed EDVR train-step compiles past 25 minutes).
 
     Args:
-        out_flat: (n*P, cout) float32 kernel output (unbanded, flat).
-        rows: (T, n, P) int32 absolute rows; cs: (T, n, P, 16) coeffs.
-        inw: (T, n, P) bool from band_prep.
+        out_flat: (n*P, cout) float32 kernel output (cropped, flat).
+        rows: (T, n, P) int32 absolute rows (sample_rows_inw).
+        oxm: (dg, n, Hp, 3K, Wp) packed offsets+mask (pack_oxm).
+        inw: (T, n, P) bool from sample_rows_inw.
     Returns:
         patched (n*P, cout) float32.
     """
     g_ = geom
-    M = g_.n * g_.out_h * g_.out_w
+    P = g_.out_h * g_.out_w
+    M = g_.n * P
     T = g_.dg * g_.K
+    K = g_.K
     cout = g_.cout
     flat_mask = ~inw.reshape(T * M)
     n_out = jnp.sum(flat_mask)
-    rank = jnp.cumsum(flat_mask) - 1          # rank among outliers
     rows_flat = rows.reshape(T * M)
-    cs_flat = cs.reshape(T * M, -1)
+    oxm_flat = oxm.reshape(-1)
+    pos_y, pos_x = _pos_grids(g_)
+    slot_r = jnp.arange(2, dtype=jnp.int32)[None, :, None]
+    slot_p = jnp.arange(g_.SX + 1, dtype=jnp.int32)[None, None, :]
 
     def body(carry):
         out_pad, i = carry
+        # rank-window compaction lives INSIDE the body so the common
+        # no-outlier call never pays the cumsum/nonzero scans
+        rank = jnp.cumsum(flat_mask) - 1      # rank among outliers
         sel = (flat_mask & (rank >= i * cap) & (rank < (i + 1) * cap))
         pos = jnp.nonzero(sel, size=cap, fill_value=T * M)[0]
         valid = pos < T * M
         cp = jnp.clip(pos, 0, T * M - 1)
         s_e = cp // M
         pt_e = cp % M
+        g_e = s_e // K
+        k_e = s_e % K
+        img_e = pt_e // P
+        y_e = (pt_e % P) // g_.out_w
+        x_e = pt_e % g_.out_w
+        by_e = y_e // g_.r
+        bx_e = x_e // g_.bw
+        pc_e = (y_e % g_.r) * g_.bw + (x_e % g_.bw)
+
+        def ox_at(c_e):
+            idx = (((((g_e * g_.n + img_e) * g_.By + by_e) * g_.Bx
+                     + bx_e) * (3 * K) + c_e) * g_.NC + pc_e)
+            return oxm_flat[idx]
+
+        dy_e = ox_at(2 * k_e)
+        dx_e = ox_at(2 * k_e + 1)
+        m_e = ox_at(2 * K + k_e)
+        i_e = (k_e // g_.kw).astype(jnp.float32) * g_.dilation
+        j_e = (k_e % g_.kw).astype(jnp.float32) * g_.dilation
+        pc = point_coeffs(g_, dy_e + i_e, dx_e + j_e, m_e,
+                          pos_y[pt_e % P], pos_x[pt_e % P])
+        cslot = (jnp.where(slot_r == pc['ry0'][:, None, None],
+                           pc['wy0'][:, None, None],
+                           jnp.where(slot_r == pc['ry0'][:, None, None] + 1,
+                                     pc['wy1'][:, None, None], 0.0)) *
+                 jnp.where(slot_p == pc['px0'][:, None, None],
+                           pc['wx0'][:, None, None],
+                           jnp.where(slot_p == pc['px0'][:, None, None] + 1,
+                                     pc['wx1'][:, None, None], 0.0)))
+        cf = jnp.repeat(cslot.reshape(cap, -1), g_.c_per, axis=1)
         G = jnp.take(tab, rows_flat[cp], axis=0).astype(etype)
-        cf = jnp.repeat(cs_flat[cp], g_.c_per, axis=1)
         blend = G * cf.astype(etype) * valid[:, None].astype(etype)
         contrib = jnp.zeros((cap, cout), jnp.float32)
         for g in range(g_.dg):

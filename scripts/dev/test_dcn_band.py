@@ -105,49 +105,16 @@ def bench():
 def cpu_interpret():
     import jax
     jax.config.update('jax_platforms', 'cpu')
-    import jax.numpy as jnp
-    from edvr_tpu.ops import dcn_band
+    os.environ['EDVR_TPU_DCN_BAND_INTERPRET'] = '1'
+    os.environ['EDVR_TPU_DCN_BAND_MIN_P'] = '1024'
     rng = np.random.RandomState(0)
-    n, h, tiles_x, c_per, dg, K, cout = 1, 40, 10, 8, 2, 9, 16
-    geom = dcn_band.BandGeom(n, h, tiles_x, 40, 64, 3, 3, dg, c_per,
-                             cout, 1, 1, 1, r=4, bw=32, J=4)
-    print('geom: span_y', geom.span_y, 'span_tx', geom.span_tx,
-          'W', geom.W, 'NC', geom.NC, 'eligible', geom.eligible())
-    T = dg * K
-    P = geom.out_h * geom.out_w
-    nrows = n * dg * h * tiles_x
-    tab4 = jnp.asarray(
-        rng.randn(n, dg, h, tiles_x, 128).astype(np.float32))
-    # raster-ish rows with jitter
-    base = np.arange(P) // geom.out_w * tiles_x
-    base = base[None, :] + np.zeros((n, 1), np.int32)
-    rows = np.stack([
-        np.clip(base + rng.randint(0, tiles_x, size=(n, P)),
-                0, h * tiles_x - 1) +
-        (np.arange(n)[:, None] * dg + s // K) * (h * tiles_x)
-        for s in range(T)]).astype(np.int32)
-    cs = rng.randn(T, n, P, 16).astype(np.float32)
-    wexp = rng.randn(K, dg, 128, cout).astype(np.float32) * 0.1
-    rel, csb, inw = dcn_band.band_prep(geom, jnp.asarray(rows),
-                                       jnp.asarray(cs))
-    out5 = dcn_band.band_forward(geom, tab4, rel, csb,
-                                 jnp.asarray(wexp), interpret=True)
-    out = np.asarray(dcn_band.unband(geom, out5)).reshape(-1, cout)
-    # dense reference
-    tab = np.asarray(tab4).reshape(nrows, 128)
-    want = np.zeros((n * P, cout), np.float32)
-    cf = np.repeat(cs, 8, axis=3)
-    inw_np = np.asarray(inw)
-    for s in range(T):
-        g, k = divmod(s, K)
-        G = tab[rows[s].reshape(-1)]
-        blend = G * cf[s].reshape(-1, 128) * \
-            inw_np[s].reshape(-1, 1)
-        want += blend @ wexp[k, g]
-    err = np.abs(out - want).max() / (np.abs(want).max() + 1e-8)
-    print('interpret parity (in-window only): max rel err', err)
-    assert err < 1e-4, err
-    print('outliers skipped:', int((~inw_np).sum()), 'of', T * n * P)
+    case = make_case(rng, n=1, h=32, w=64, cin=16, cout=16, dg=2,
+                     big_frac=0.02)
+    ref = run(case, band=False)
+    got = run(case, band=True)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    print('interpret full-path parity: max rel err', err)
+    assert err < 2e-6, err
 
 
 if __name__ == '__main__':

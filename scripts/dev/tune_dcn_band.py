@@ -17,14 +17,15 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 import numpy as np
 
 CONFIGS = [
-    # (r, bw, J)
-    (4, 112, 8),     # default
-    (4, 112, 4),
-    (2, 112, 4),
-    (8, 112, 4),
-    (4, 56, 4),
-    (4, 224, 4),
-    (4, 112, 2),
+    # (r, bw, J) — bw must be a power of two, r*bw % 128 == 0
+    (8, 64, 4),      # default
+    (8, 64, 2),
+    (8, 64, 6),
+    (8, 64, 8),
+    (4, 64, 4),
+    (16, 64, 4),
+    (8, 128, 4),
+    (4, 32, 4),
 ]
 
 
