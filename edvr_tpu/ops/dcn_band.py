@@ -394,6 +394,8 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
         stx_b = stx_ref[bx] * 8
 
         # sublane slot ids for the transposed (128, NC) lane expansion
+        # (compares stay i32 — the v5e VPU has no bf16 compare; the
+        # selected VALUES and multiplies run in packed etype)
         ls = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
         ls_rs = ls // (PX * c_per)
         ls_ps = (ls // c_per) % PX
@@ -439,7 +441,10 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
                 preferred_element_type=jnp.float32)      # (128, NC)
 
             # transposed lane-slot expansion: selects keyed on the
-            # SUBLANE id against (1, NC) rows — pure broadcasts
+            # SUBLANE id against (1, NC) rows — pure broadcasts.
+            # (Measured dead ends: bf16 compares are unsupported on
+            # v5e; bf16 mask-multiply-add expansions are ~20% SLOWER
+            # than f32 selects — the i1->bf16 converts dominate.)
             wyE = jnp.where(ls_rs == ry0, wy0,
                             jnp.where(ls_rs == ry0 + 1, wy1, 0.0))
             wxE = jnp.where(ls_ps == px0, wx0,
