@@ -366,102 +366,41 @@ def _band_apply_fwd(static, tab4, oxm, rows, inw, wexp):
 
 
 def _band_apply_bwd(static, res, dout):
+    """Backward via the banded Pallas kernel (dcn_band.band_backward):
+    one-hot regather + windowed table gradient (no scatter) + analytic
+    coordinate/mask gradient + accumulated weight gradient, plus the
+    exact compacted patch for out-of-window points."""
     from edvr_tpu.ops import dcn_band
-    bgeom, geom1d, c_per, _ = static
+    bgeom, geom1d, c_per, interpret = static
     tab4, oxm, rows, inw, wexp = res
-    oh, ow = bgeom.out_h, bgeom.out_w
+    g_ = bgeom
+    n = tab4.shape[0]
+    cout = g_.cout
+    oh, ow = g_.out_h, g_.out_w
+    Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
+    doutb = dout.reshape(n, oh, ow, cout)
+    if (Hp, Wp) != (oh, ow):
+        doutb = jnp.pad(doutb, ((0, 0), (0, Hp - oh), (0, Wp - ow),
+                                (0, 0)))
+    doutb = doutb.reshape(n, g_.By, g_.r, g_.Bx, g_.bw, cout)
+    doutb = doutb.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, g_.By, g_.Bx, g_.NC, cout)
+
+    wg, d_oxm, dwexp = dcn_band.band_backward(
+        bgeom, tab4, oxm, doutb, wexp, interpret=interpret)
+    dtab = dcn_band.fold_windows(bgeom, wg, tab4.shape)
+
+    T, _, P = rows.shape
+    cap = max(1024, (T * n * P) // 64)
     tab = tab4.reshape(-1, tab4.shape[-1])
-    etype = tab.dtype
-    T, n, P = rows.shape
-    M = n * P
-    K, dg = bgeom.K, bgeom.dg
-    PX = bgeom.SX + 1
-    dil = bgeom.dilation
-    pos_y, pos_x = dcn_band._pos_grids(bgeom)
-    posy_b = jnp.broadcast_to(pos_y[None], (n, P)).reshape(M)
-    posx_b = jnp.broadcast_to(pos_x[None], (n, P)).reshape(M)
-    slot_r = jnp.arange(2, dtype=jnp.int32)[None, :, None]
-    slot_p = jnp.arange(PX, dtype=jnp.int32)[None, None, :]
-    dout_e = dout.astype(etype)
-    d_oxm = jnp.zeros(oxm.shape, oxm.dtype)
-    dgs = []
-    rows_t = []
-    dw_list = []
-    for s in range(T):
-        g, k = divmod(s, K)
-        i, j = divmod(k, bgeom.kw)
-        dy_s = dcn_band.unband_channel(
-            bgeom, oxm[g, :, :, :, 2 * k, :]).reshape(M)
-        dx_s = dcn_band.unband_channel(
-            bgeom, oxm[g, :, :, :, 2 * k + 1, :]).reshape(M)
-        m_s = dcn_band.unband_channel(
-            bgeom, oxm[g, :, :, :, 2 * K + k, :]).reshape(M)
-        pc = dcn_band.point_coeffs(bgeom, dy_s + i * dil, dx_s + j * dil,
-                                   m_s, posy_b, posx_b)
-        wy_sel = jnp.where(
-            slot_r == pc['ry0'][:, None, None], pc['wy0'][:, None, None],
-            jnp.where(slot_r == pc['ry0'][:, None, None] + 1,
-                      pc['wy1'][:, None, None], 0.0))      # (M, 2, 1)
-        wx_sel = jnp.where(
-            slot_p == pc['px0'][:, None, None], pc['wx0'][:, None, None],
-            jnp.where(slot_p == pc['px0'][:, None, None] + 1,
-                      pc['wx1'][:, None, None], 0.0))      # (M, 1, PX)
-        cslot = wy_sel * wx_sel                            # (M, 2, PX)
-        cf = jnp.repeat(cslot.reshape(M, -1), c_per, axis=1)
-
-        w_kg = wexp[k, g]                                  # (lanes, cout)
-        dpiece = jnp.dot(dout_e, w_kg.T,
-                         preferred_element_type=jnp.float32)  # (M, lanes)
-        r_flat = rows[s].reshape(-1)
-        G = jnp.take(tab, r_flat, axis=0)                  # (M, lanes)
-        blend = (G * cf.astype(etype))
-        dw_list.append(jnp.dot(blend.T, dout_e,
-                               preferred_element_type=jnp.float32))
-        prod = (dpiece * G).reshape(M, -1, c_per)
-        dcslot = prod.sum(-1).reshape(M, 2, PX)            # f32
-        dgs.append((dpiece * cf).astype(etype))
-        rows_t.append(r_flat)
-
-        # analytic coordinate/mask gradient (col2im_coord):
-        # cslot[rs, ps] = wy_sel(rs) * wx_sel(ps) with
-        # wy0 = (1-fy)*vy0*m, wy1 = fy*vy1*m, wx0 = (1-fx)*vx0,
-        # wx1 = fx*vx1; slot indices are piecewise-constant (grad 0)
-        dwy = (dcslot * wx_sel).sum(2)                     # (M, 2)
-        dwx = (dcslot * wy_sel).sum(1)                     # (M, PX)
-        dwy0, dwy1 = dwy[:, 0], dwy[:, 1]
-        ps = jnp.arange(PX, dtype=jnp.int32)[None, :]
-        dwx0 = (dwx * (ps == pc['px0'][:, None])).sum(1)
-        dwx1 = (dwx * (ps == pc['px0'][:, None] + 1)).sum(1)
-        d_dy = (-dwy0 * pc['vy0'] + dwy1 * pc['vy1']) * m_s
-        d_dx = -dwx0 * pc['vx0'] + dwx1 * pc['vx1']
-        d_m = (dwy0 * (1 - pc['fy']) * pc['vy0'] +
-               dwy1 * pc['fy'] * pc['vy1'])
-        d_oxm = d_oxm.at[g, :, :, :, 2 * k, :].set(
-            dcn_band.band_channel(
-                bgeom, d_dy.reshape(n, oh, ow)).astype(oxm.dtype))
-        d_oxm = d_oxm.at[g, :, :, :, 2 * k + 1, :].set(
-            dcn_band.band_channel(
-                bgeom, d_dx.reshape(n, oh, ow)).astype(oxm.dtype))
-        d_oxm = d_oxm.at[g, :, :, :, 2 * K + k, :].set(
-            dcn_band.band_channel(
-                bgeom, d_m.reshape(n, oh, ow)).astype(oxm.dtype))
-
-    lanes = tab.shape[-1]
-    dwexp = jnp.stack(dw_list).reshape(
-        dg, K, lanes, wexp.shape[-1]).transpose(1, 0, 2, 3)
-    if os.environ.get('EDVR_TPU_DCN_COL2IM', '0') == '1':
-        dtab = _col2im_banded(tuple(rows_t), tuple(dgs), geom1d,
-                              tab.dtype)
-    else:
-        all_rows = jnp.concatenate(rows_t)
-        all_upd = jnp.concatenate(dgs, axis=0)
-        dtab = (jnp.zeros(tab.shape, jnp.float32)
-                .at[all_rows].add(all_upd.astype(jnp.float32))
-                .astype(tab.dtype))
+    dtab_flat = dtab.reshape(-1, tab4.shape[-1])
+    dtab_flat, d_oxm, dwexp = dcn_band.outlier_patch_bwd(
+        bgeom, (dtab_flat, d_oxm, dwexp), tab, rows, oxm, inw, doutb,
+        wexp, tab.dtype, cap)
     rows_ct = np.zeros(rows.shape, dtype=jax.dtypes.float0)
     inw_ct = np.zeros(inw.shape, dtype=jax.dtypes.float0)
-    return (dtab.reshape(tab4.shape), d_oxm, rows_ct, inw_ct,
-            dwexp.astype(wexp.dtype))
+    return (dtab_flat.reshape(tab4.shape).astype(tab4.dtype), d_oxm,
+            rows_ct, inw_ct, dwexp.astype(wexp.dtype))
 
 
 _band_apply.defvjp(_band_apply_fwd, _band_apply_bwd)
@@ -727,9 +666,12 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
             bw=int(os.environ.get('EDVR_TPU_DCN_BAND_BW', '64')),
             J=int(os.environ.get('EDVR_TPU_DCN_BAND_J', '4')),
             w_pix=w)
-        # 12000 admits EDVR's L2 level (90x160) — measured a further
-        # +1.6% end to end; train crops (<=4096) stay on gather
-        min_p = int(os.environ.get('EDVR_TPU_DCN_BAND_MIN_P', '12000'))
+        # 4096 admits the canonical 64px train crops — with the
+        # band BACKWARD kernel the train step drops 356 -> 128 ms
+        # (the 17 GB/s dG scatter disappears); inference L1/L2 band
+        # as before. Below 4096 the gather path stays (and odd crop
+        # widths fall back automatically via the bw-power-of-2 rule).
+        min_p = int(os.environ.get('EDVR_TPU_DCN_BAND_MIN_P', '4096'))
         if not bgeom.eligible() or out_h * out_w < min_p:
             bgeom = None
     use_band = bgeom is not None

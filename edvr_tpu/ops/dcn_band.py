@@ -69,6 +69,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# trace-time call counters: parity tests assert the band kernels were
+# actually engaged (a silent fallback to the gather path once turned
+# the whole test file vacuous)
+TRACE_COUNTS = {'fwd': 0, 'bwd': 0}
+
+
 class BandGeom:
     """Static geometry of the banded DCN kernel (hashable)."""
 
@@ -124,16 +130,13 @@ class BandGeom:
     def eligible(self):
         """Whether the banded kernel applies.
 
-        Needs enough rows/tiles to window, bands small enough for VMEM,
-        an exact in-kernel integer division (width bound), and a LARGE
-        spatial problem: at train-crop sizes (64px, P=4k) the gather
-        path wins — band fixed costs exceed the gather saving and the
-        extra graphs slow the train-step compile substantially. At
-        inference sizes (P>=16k) band wins.
+        Geometric legality only (rows/tiles fit a window, VMEM
+        bounds, exact in-kernel integer division). The PROBLEM-SIZE
+        policy (which shapes actually profit) lives in the caller's
+        EDVR_TPU_DCN_BAND_MIN_P gate.
         """
         return (self.h >= self.span_y
                 and self.tiles_x_pad >= self.span_tx
-                and self.out_h * self.out_w >= 16384
                 and self.W <= 4096 and self.NC <= 1024
                 # the in-kernel mul-shift floordiv is exact to 8191
                 and self.SX * self.tiles_x <= 8191
@@ -325,6 +328,7 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
         (n, By, Bx, NC, cout) float32 banded output (`unband_channel`
         per cout-slice, or reshape via the caller).
     """
+    TRACE_COUNTS['fwd'] += 1
     g_ = geom
     NC, W, K, cout = g_.NC, g_.W, g_.K, g_.cout
     r, bw, dg = g_.r, g_.bw, g_.dg
@@ -491,6 +495,400 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
         interpret=interpret,
     )(start_y, start_tx8, oxm, wexp, tab4)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=('geom', 'interpret'))
+def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
+    """Banded DCN backward: table-gradient windows + analytic
+    coordinate/mask gradients + weight gradient, all in VMEM.
+
+    Replaces the gather path's backward — 72 stream regathers plus an
+    XLA scatter-add running at ~17 GB/s (the dominant cost of an EDVR
+    train step) — with the forward kernel's machinery transposed:
+
+      * regather by one-hot MXU contraction (as forward);
+      * the table gradient of a band accumulates into its static
+        window by ONE (W, NC) x (NC, 128) MXU contraction per tap;
+        windows are written per (band, group) and overlap-added into
+        the table by the caller at STATIC offsets — no scatter;
+      * the coordinate/mask gradient (reference col2im_coord) comes
+        from masked sublane reductions of the transposed products;
+      * the weight gradient accumulates in a VMEM-resident
+        (K, dg, 128, cout) output block across all grid steps.
+
+    Out-of-window points contribute zero to every output here and are
+    patched exactly by `outlier_patch_bwd`.
+
+    Args:
+        geom: BandGeom.
+        tab4: (n, dg, h, tiles_x, 128) tile table (etype).
+        oxm: (dg, n, By, Bx, 3K, NC) float32 packed offsets+mask.
+        doutb: (n, By, Bx, NC, cout) float32 banded output cotangent.
+        wexp: (K, dg, 128, cout) slot-tiled weights (etype).
+
+    Returns:
+        wg: (n, By, Bx, dg, span_y, span_tx, 128) float32 per-band
+            table-gradient windows (fold at geom.start_y/start_tx).
+        d_oxm: (dg, n, By, Bx, 3K, NC) float32.
+        dwexp: (K, dg, 128, cout) float32.
+    """
+    TRACE_COUNTS['bwd'] += 1
+    g_ = geom
+    NC, W, K, cout = g_.NC, g_.W, g_.K, g_.cout
+    r, bw, dg = g_.r, g_.bw, g_.dg
+    By, Bx = g_.By, g_.Bx
+    span_y, span_tx = g_.span_y, g_.span_tx
+    c_per = g_.c_per
+    PX = g_.SX + 1
+    etype = tab4.dtype
+    w_pix = g_.w_pix
+    div_mul = _div_magic(g_.SX)
+    bw_shift = bw.bit_length() - 1
+    assert bw == 1 << bw_shift, 'bw must be a power of two'
+
+    if g_.tiles_x_pad != g_.tiles_x:
+        tab4 = jnp.pad(tab4, ((0, 0), (0, 0), (0, 0),
+                              (0, g_.tiles_x_pad - g_.tiles_x), (0, 0)))
+
+    start_y = jnp.asarray(g_.start_y)
+    start_tx8 = jnp.asarray(g_.start_tx // 8)
+    nsteps = g_.n * By * Bx * dg
+
+    def kernel(sy_ref, stx_ref, oxm_ref, dout_ref, w_ref, tab_ref,
+               wg_ref, dox_ref, dw_ref, win_ref, sem_ref):
+        ni = pl.program_id(0)
+        by = pl.program_id(1)
+        bx = pl.program_id(2)
+        gi = pl.program_id(3)
+        step = ((ni * By + by) * Bx + bx) * dg + gi
+
+        def copy_for(ni2, by2, bx2, gi2, slot):
+            return pltpu.make_async_copy(
+                tab_ref.at[ni2, gi2, pl.ds(sy_ref[by2], span_y),
+                           pl.ds(stx_ref[bx2] * 8, span_tx), :],
+                win_ref.at[slot], sem_ref.at[slot])
+
+        def copy_step(st, slot):
+            gi2 = jax.lax.rem(st, dg)
+            r1 = jax.lax.div(st, dg)
+            bx2 = jax.lax.rem(r1, Bx)
+            r2 = jax.lax.div(r1, Bx)
+            by2 = jax.lax.rem(r2, By)
+            ni2 = jax.lax.div(r2, By)
+            return copy_for(ni2, by2, bx2, gi2, slot)
+
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _bootstrap():
+            copy_for(ni, by, bx, gi, slot).start()
+            dw_ref[...] = jnp.zeros(dw_ref.shape, jnp.float32)
+
+        @pl.when(step + 1 < nsteps)
+        def _prefetch():
+            copy_step(step + 1, 1 - slot).start()
+
+        copy_for(ni, by, bx, gi, slot).wait()
+        win = win_ref[slot].reshape(W, 128)
+        dout_e = dout_ref[0, 0, 0].astype(etype)         # (NC, cout)
+
+        pn = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
+        yo = by * r + (pn >> bw_shift)
+        xo = bx * bw + (pn & (bw - 1))
+        posy = (yo * g_.stride - g_.padding).astype(jnp.float32)
+        posx = (xo * g_.stride - g_.padding).astype(jnp.float32)
+        sy_b = sy_ref[by]
+        stx_b = stx_ref[bx] * 8
+
+        ls = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        ls_rs = ls // (PX * c_per)
+        ls_ps = (ls // c_per) % PX
+
+        iota_y = jax.lax.broadcasted_iota(jnp.int32, (span_y, NC), 0)
+        iota_x = jax.lax.broadcasted_iota(jnp.int32, (span_tx, NC), 0)
+
+        wg_acc = jnp.zeros((W, 128), jnp.float32)
+        for k in range(K):
+            i, j = divmod(k, g_.kw)
+            dy = oxm_ref[0, 0, 0, 0, 2 * k, :].reshape(1, NC)
+            dx = oxm_ref[0, 0, 0, 0, 2 * k + 1, :].reshape(1, NC)
+            m = oxm_ref[0, 0, 0, 0, 2 * K + k, :].reshape(1, NC)
+            cy = posy + i * g_.dilation + dy
+            cx = posx + j * g_.dilation + dx
+            y0 = jnp.floor(cy)
+            x0 = jnp.floor(cx)
+            fy = cy - y0
+            fx = cx - x0
+            y0i = y0.astype(jnp.int32)
+            x0i = x0.astype(jnp.int32)
+            ty = jnp.clip(y0i, 0, g_.h - 1)
+            xc = jnp.clip(x0i, 0, 8191)
+            tx = jnp.minimum((xc * div_mul) >> 16, g_.tiles_x - 1)
+            ry0 = y0i - ty
+            px0 = x0i - g_.SX * tx
+            vy0 = ((y0i >= 0) & (y0i <= g_.h - 1)).astype(jnp.float32)
+            vy1 = ((y0i + 1 >= 0) &
+                   (y0i + 1 <= g_.h - 1)).astype(jnp.float32)
+            vx0 = ((x0i >= 0) & (x0i <= w_pix - 1)).astype(jnp.float32)
+            vx1 = ((x0i + 1 >= 0) &
+                   (x0i + 1 <= w_pix - 1)).astype(jnp.float32)
+            wy0 = (1 - fy) * vy0 * m
+            wy1 = fy * vy1 * m
+            wx0 = (1 - fx) * vx0
+            wx1 = fx * vx1
+
+            oy = (iota_y == (ty - sy_b)).astype(etype)
+            ox = (iota_x == (tx - stx_b)).astype(etype)
+            onehot = (oy[:, None, :] * ox[None, :, :]).reshape(W, NC)
+            gT = jax.lax.dot_general(
+                win, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (128, NC)
+
+            wyE = jnp.where(ls_rs == ry0, wy0,
+                            jnp.where(ls_rs == ry0 + 1, wy1, 0.0))
+            wxE = jnp.where(ls_ps == px0, wx0,
+                            jnp.where(ls_ps == px0 + 1, wx1, 0.0))
+            cfullT = wyE * wxE                           # (128, NC)
+
+            # upstream piece gradient, transposed
+            dpieceT = jax.lax.dot_general(
+                w_ref[k, 0], dout_e, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (128, NC)
+
+            # weight gradient (accumulated across every grid step)
+            blendT = (gT * cfullT).astype(etype)
+            dw_ref[k, gi] = dw_ref[k, gi] + jnp.dot(
+                blendT, dout_e, preferred_element_type=jnp.float32)
+
+            # table gradient into this band's window (NO scatter)
+            dGT = (dpieceT * cfullT).astype(etype)       # (128, NC)
+            wg_acc = wg_acc + jax.lax.dot_general(
+                onehot, dGT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (W, 128)
+
+            # analytic coordinate/mask gradient (col2im_coord):
+            # dcslot contracted over channels happens implicitly in the
+            # masked sublane reductions below
+            prodT = dpieceT * gT                         # (128, NC)
+            twy = prodT * wxE
+            twx = prodT * wyE
+            # the slot holding wy0 is ry0[p] (0 interior, shifted when
+            # y0 clips at the border) — mask data-dependently, exactly
+            # like the forward expansion
+            dwy0 = jnp.sum(jnp.where(ls_rs == ry0, twy, 0.0), axis=0,
+                           keepdims=True)                # (1, NC)
+            dwy1 = jnp.sum(jnp.where(ls_rs == ry0 + 1, twy, 0.0),
+                           axis=0, keepdims=True)
+            dwx0 = jnp.sum(jnp.where(ls_ps == px0, twx, 0.0), axis=0,
+                           keepdims=True)
+            dwx1 = jnp.sum(jnp.where(ls_ps == px0 + 1, twx, 0.0),
+                           axis=0, keepdims=True)
+            d_dy = (-dwy0 * vy0 + dwy1 * vy1) * m
+            d_dx = -dwx0 * vx0 + dwx1 * vx1
+            d_m = dwy0 * (1 - fy) * vy0 + dwy1 * fy * vy1
+            dox_ref[0, 0, 0, 0, pl.ds(2 * k, 1), :] = d_dy
+            dox_ref[0, 0, 0, 0, pl.ds(2 * k + 1, 1), :] = d_dx
+            dox_ref[0, 0, 0, 0, pl.ds(2 * K + k, 1), :] = d_m
+
+        wg_ref[...] = wg_acc.reshape(1, 1, 1, 1, span_y, span_tx, 128)
+
+    grid = (g_.n, By, Bx, dg)
+    wg, d_oxm, dwexp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 1, 3 * K, NC),
+                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, NC, cout),
+                         lambda n, y, x, g: (n, y, x, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, 128, cout),
+                         lambda n, y, x, g: (0, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, 1, span_y, span_tx, 128),
+                         lambda n, y, x, g: (n, y, x, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, 3 * K, NC),
+                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, dg, 128, cout),
+                         lambda n, y, x, g: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (g_.n, By, Bx, dg, span_y, span_tx, 128), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (dg, g_.n, By, Bx, 3 * K, NC), jnp.float32),
+            jax.ShapeDtypeStruct((K, dg, 128, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, span_y, span_tx, 128), etype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(start_y, start_tx8, oxm, doutb, wexp, tab4)
+    return wg, d_oxm, dwexp
+
+
+def fold_windows(geom, wg, tab_shape):
+    """Overlap-add the per-band gradient windows into the tile table.
+
+    Window starts are STATIC, so this is By*Bx dynamic-update-adds at
+    fixed offsets — no scatter.
+
+    Args:
+        wg: (n, By, Bx, dg, span_y, span_tx, 128) float32.
+        tab_shape: (n, dg, h, tiles_x, 128).
+    Returns:
+        (n, dg, h, tiles_x, 128) float32 table gradient.
+    """
+    g_ = geom
+    n, dg, h, tiles_x, lanes = tab_shape
+    acc = jnp.zeros((n, dg, h, g_.tiles_x_pad, lanes), jnp.float32)
+    for by in range(g_.By):
+        sy = int(g_.start_y[by])
+        for bx in range(g_.Bx):
+            sx = int(g_.start_tx[bx])
+            acc = acc.at[:, :, sy:sy + g_.span_y,
+                         sx:sx + g_.span_tx, :].add(wg[:, by, bx])
+    return acc[:, :, :, :tiles_x, :]
+
+
+def outlier_patch_bwd(geom, grads, tab, rows, oxm, inw, doutb, wexp,
+                      etype, cap):
+    """Backward counterpart of `outlier_patch`.
+
+    Adds the (rare) out-of-window points' contributions to the table
+    gradient (flat scatter — exact), the packed offset/mask gradient,
+    and the weight gradient, with the same rank-windowed while_loop
+    (one patch graph, exact for any outlier count).
+
+    Args:
+        grads: (dtab_flat (nrows, 128) f32, d_oxm f32, dwexp f32).
+        doutb: (n, By, Bx, NC, cout) float32 banded cotangent.
+    Returns:
+        patched (dtab_flat, d_oxm, dwexp).
+    """
+    g_ = geom
+    P = g_.out_h * g_.out_w
+    M = g_.n * P
+    T = g_.dg * g_.K
+    K = g_.K
+    PX = g_.SX + 1
+    flat_mask = ~inw.reshape(T * M)
+    n_out = jnp.sum(flat_mask)
+    rows_flat = rows.reshape(T * M)
+    oxm_flat = oxm.reshape(-1)
+    dout_flat = doutb.reshape(-1, g_.cout)     # banded point order
+    pos_y, pos_x = _pos_grids(g_)
+    slot_r = jnp.arange(2, dtype=jnp.int32)[None, :, None]
+    slot_p = jnp.arange(PX, dtype=jnp.int32)[None, None, :]
+    nrows = grads[0].shape[0]
+
+    def body(carry):
+        (dtab, d_oxm, dwexp), it = carry
+        rank = jnp.cumsum(flat_mask) - 1
+        sel = (flat_mask & (rank >= it * cap) & (rank < (it + 1) * cap))
+        pos = jnp.nonzero(sel, size=cap, fill_value=T * M)[0]
+        valid = pos < T * M
+        cp = jnp.clip(pos, 0, T * M - 1)
+        s_e = cp // M
+        pt_e = cp % M
+        g_e = s_e // K
+        k_e = s_e % K
+        img_e = pt_e // P
+        y_e = (pt_e % P) // g_.out_w
+        x_e = pt_e % g_.out_w
+        by_e = y_e // g_.r
+        bx_e = x_e // g_.bw
+        pc_e = (y_e % g_.r) * g_.bw + (x_e % g_.bw)
+        bpt = (((img_e * g_.By + by_e) * g_.Bx + bx_e) * g_.NC + pc_e)
+
+        def ox_at(c_e):
+            idx = (((((g_e * g_.n + img_e) * g_.By + by_e) * g_.Bx
+                     + bx_e) * (3 * K) + c_e) * g_.NC + pc_e)
+            return oxm_flat[idx]
+
+        dy_e = ox_at(2 * k_e)
+        dx_e = ox_at(2 * k_e + 1)
+        m_e = ox_at(2 * K + k_e)
+        i_e = (k_e // g_.kw).astype(jnp.float32) * g_.dilation
+        j_e = (k_e % g_.kw).astype(jnp.float32) * g_.dilation
+        pc = point_coeffs(g_, dy_e + i_e, dx_e + j_e, m_e,
+                          pos_y[pt_e % P], pos_x[pt_e % P])
+        wy_sel = jnp.where(
+            slot_r == pc['ry0'][:, None, None], pc['wy0'][:, None, None],
+            jnp.where(slot_r == pc['ry0'][:, None, None] + 1,
+                      pc['wy1'][:, None, None], 0.0))    # (cap, 2, 1)
+        wx_sel = jnp.where(
+            slot_p == pc['px0'][:, None, None], pc['wx0'][:, None, None],
+            jnp.where(slot_p == pc['px0'][:, None, None] + 1,
+                      pc['wx1'][:, None, None], 0.0))    # (cap, 1, PX)
+        cf = jnp.repeat((wy_sel * wx_sel).reshape(cap, -1),
+                        g_.c_per, axis=1)                # (cap, 128)
+
+        dout_e = (dout_flat[bpt] *
+                  valid[:, None].astype(jnp.float32))    # (cap, cout)
+        G = jnp.take(tab, rows_flat[cp], axis=0).astype(jnp.float32)
+        # per-stream weights via masked matmuls (as the forward patch)
+        dpiece = jnp.zeros((cap, 128), jnp.float32)
+        for g in range(g_.dg):
+            for k in range(g_.K):
+                s = g * g_.K + k
+                bmask = (s_e == s).astype(jnp.float32)
+                dpiece = dpiece + jnp.dot(
+                    dout_e * bmask[:, None], wexp[k, g].T.astype(
+                        jnp.float32),
+                    preferred_element_type=jnp.float32)
+                blend_s = (G * cf) * bmask[:, None]
+                dwexp = dwexp.at[k, g].add(jnp.dot(
+                    blend_s.T, dout_e,
+                    preferred_element_type=jnp.float32))
+
+        # table gradient: exact scatter of the compacted rows
+        dG = dpiece * cf
+        fb = jnp.where(valid, rows_flat[cp], nrows)
+        dtab = jnp.concatenate(
+            [dtab, jnp.zeros((1, dtab.shape[1]), dtab.dtype)]
+        ).at[fb].add(dG)[:nrows]
+
+        # coordinate/mask gradient chain
+        dcslot = (dpiece * G).reshape(cap, -1, g_.c_per).sum(-1)
+        dcslot = dcslot.reshape(cap, 2, PX)
+        dwy = (dcslot * wx_sel).sum(2)                   # (cap, 2)
+        dwx = (dcslot * wy_sel).sum(1)                   # (cap, PX)
+        rs = jnp.arange(2, dtype=jnp.int32)[None, :]
+        ps = jnp.arange(PX, dtype=jnp.int32)[None, :]
+        dwy0 = (dwy * (rs == pc['ry0'][:, None])).sum(1)
+        dwy1 = (dwy * (rs == pc['ry0'][:, None] + 1)).sum(1)
+        dwx0 = (dwx * (ps == pc['px0'][:, None])).sum(1)
+        dwx1 = (dwx * (ps == pc['px0'][:, None] + 1)).sum(1)
+        d_dy = (-dwy0 * pc['vy0'] + dwy1 * pc['vy1']) * m_e
+        d_dx = -dwx0 * pc['vx0'] + dwx1 * pc['vx1']
+        d_m = (dwy0 * (1 - pc['fy']) * pc['vy0'] +
+               dwy1 * pc['fy'] * pc['vy1'])
+        dox_size = d_oxm.size
+        d_oxm_f = d_oxm.reshape(-1)
+        for c_e, val in ((2 * k_e, d_dy), (2 * k_e + 1, d_dx),
+                         (2 * K + k_e, d_m)):
+            idx = (((((g_e * g_.n + img_e) * g_.By + by_e) * g_.Bx
+                     + bx_e) * (3 * K) + c_e) * g_.NC + pc_e)
+            idx = jnp.where(valid, idx, dox_size)
+            d_oxm_f = jnp.concatenate(
+                [d_oxm_f, jnp.zeros((1,), d_oxm_f.dtype)]
+            ).at[idx].add(val)[:dox_size]
+        return (dtab, d_oxm_f.reshape(d_oxm.shape), dwexp), it + 1
+
+    carry, _ = jax.lax.while_loop(
+        lambda c: c[1] * cap < n_out, body, (grads, 0))
+    return carry
 
 
 def outlier_patch(geom, out_flat, tab, rows, oxm, inw, wexp, etype, cap):

@@ -102,6 +102,43 @@ def bench():
         print(f'band={band}: L1-shape DCN {min(times)*1000:.1f} ms')
 
 
+def grads():
+    """TPU gradient parity: band (Pallas bwd kernel) vs gather autodiff."""
+    import jax
+    from edvr_tpu.ops import dcn
+    os.environ['EDVR_TPU_DCN_BAND_MIN_P'] = '4096'
+    rng = np.random.RandomState(0)
+    for name, kw in [('clean 128x160', dict(n=1, h=128, w=160, cin=64,
+                                            cout=64, dg=8)),
+                     ('outliers 1%', dict(n=1, h=128, w=160, cin=64,
+                                          cout=64, dg=8, big_frac=0.01)),
+                     ('train-shape 64x64 b4', dict(n=4, h=64, w=64,
+                                                   cin=64, cout=64,
+                                                   dg=8))]:
+        case = make_case(rng, **kw)
+        outs = {}
+        for band in (False, True):
+            os.environ['EDVR_TPU_DCN_BAND'] = '1' if band else '0'
+            dgr = int(case[2].shape[-1] // 9)
+
+            def loss(x, off, mask, weight):
+                out = dcn.modulated_deform_conv(
+                    x, off, mask, weight, None, stride=1, padding=1,
+                    dilation=1, groups=1, deformable_groups=dgr)
+                return (out * jnp_cos(out * 3)).sum()
+            import jax.numpy as jnp
+            jnp_cos = jnp.cos
+            outs[band] = jax.jit(jax.grad(
+                loss, argnums=(0, 1, 2, 3)))(*case)
+        for gname, a, b in zip(['dx', 'doffset', 'dmask', 'dweight'],
+                               outs[False], outs[True]):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            err = np.abs(b / scale - a / scale).max()
+            print(f'{name} {gname}: {err:.3e} '
+                  f'({"OK" if err < 3e-2 else "FAIL"})', flush=True)
+
+
 def cpu_interpret():
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -121,6 +158,8 @@ if __name__ == '__main__':
     mode = sys.argv[1] if len(sys.argv) > 1 else 'parity'
     if mode == 'cpu':
         cpu_interpret()
+    elif mode == 'grads':
+        grads()
     elif mode == 'bench':
         bench()
     else:

@@ -50,17 +50,21 @@ def make_video_dataset(root, num_clips=3, frames=100, hw=96, scale=4,
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--iters', type=int, default=300)
+    parser.add_argument('--hw', type=int, default=96,
+                        help='GT frame size; 256 exercises the banded '
+                             'DCN kernels in training (64px LQ crops)')
     args = parser.parse_args()
 
     workdir = tempfile.mkdtemp(prefix='edvr_smoke_')
     root = osp.join(workdir, 'reds')
-    make_video_dataset(root)
+    # REDSDataset mirrors the reference's 100-frames-per-clip layout
+    make_video_dataset(root, hw=args.hw)
 
     # bicubic baseline on a few center frames
     from edvr_tpu.metrics import calculate_psnr
     from edvr_tpu.utils.matlab_functions import imresize
     base = []
-    for f in range(40, 44):
+    for f in range(20, 24):
         gt = cv2.imread(
             osp.join(root, 'train_sharp', '001',
                      f'{f:08d}.png')).astype(np.float32) / 255.
@@ -87,7 +91,7 @@ def main():
                 dataroot_lq=f'{root}/train_sharp_bicubic',
                 dataroot_flow=None, meta_info_file=f'{root}/meta.txt',
                 val_partition='REDS4', io_backend=dict(type='disk'),
-                num_frame=5, gt_size=96, interval_list=[1],
+                num_frame=5, gt_size=args.hw, interval_list=[1],
                 random_reverse=False, use_flip=True, use_rot=True,
                 use_shuffle=True, num_worker_per_gpu=4,
                 batch_size_per_gpu=8, dataset_enlarge_ratio=10,

@@ -66,9 +66,13 @@ def _run(case, band, grad=False):
 @pytest.mark.parametrize('seed,big_frac', [(0, 0.0), (1, 0.01),
                                            (2, 0.4)])
 def test_band_forward_matches_gather(seed, big_frac):
+    from edvr_tpu.ops import dcn_band
     case = _case(seed, big_frac=big_frac)
     (ref,) = _run(case, band=False)
     (got,) = _run(case, band=True)
+    # the band kernel must actually have been engaged (a silent
+    # fallback to the gather path once made this whole file vacuous)
+    assert dcn_band.TRACE_COUNTS['fwd'] > 0
     scale = float(jnp.abs(ref).max()) + 1e-8
     np.testing.assert_allclose(np.asarray(got) / scale,
                                np.asarray(ref) / scale, atol=2e-6)
@@ -76,9 +80,11 @@ def test_band_forward_matches_gather(seed, big_frac):
 
 @pytest.mark.parametrize('seed,big_frac', [(3, 0.0), (4, 0.02)])
 def test_band_grads_match_gather(seed, big_frac):
+    from edvr_tpu.ops import dcn_band
     case = _case(seed, big_frac=big_frac)
     refs = _run(case, band=False, grad=True)
     gots = _run(case, band=True, grad=True)
+    assert dcn_band.TRACE_COUNTS['bwd'] > 0
     for name, a, b in zip(['dx', 'doffset', 'dmask', 'dweight'], refs,
                           gots):
         a, b = np.asarray(a), np.asarray(b)
