@@ -134,7 +134,26 @@ def remap_esrgan(state):
     return _apply(state, rules, passthrough)
 
 
-def remap_duf_16l(state):
+def _deinterleave_duf_filters(v, scale):
+    """Reorder DUF residual-head output channels from the official
+    color-fastest layout to torch pixel-shuffle color-major layout
+    (convert_models.py:378-396).
+
+    The official checkpoint emits 3*scale^2 channels ordered
+    (r0,g0,b0,r1,g1,b1,...); torch-style ``pixel_shuffle`` expects all
+    scale^2 sub-pixel positions of R, then G, then B. Applies to
+    conv3d_r2's weight (rows) and bias.
+    """
+    import numpy as np
+    rows = np.asarray(v)
+    if rows.shape[0] != 3 * scale ** 2:  # pragma: no cover - sanity
+        raise ValueError(
+            f'conv3d_r2 leading dim {rows.shape[0]} != 3*scale^2 '
+            f'({3 * scale ** 2})')
+    return np.concatenate([rows[0::3], rows[1::3], rows[2::3]], axis=0)
+
+
+def remap_duf_16l(state, scale=None):
     """Old official DUF 16-layer naming -> BasicSR DUF with
     adapt_official_weights=True (convert_models.py:287-376, inverted).
 
@@ -143,6 +162,12 @@ def remap_duf_16l(state):
     conv3d_{2i+1} at indices 0/2 and bn3d_{2i+2}, conv3d_{2i+2} at 3/5.
     dense_block_2.temporal_reduce{t} holds bn3d_{2t-1}, conv3d_{2t-1},
     bn3d_{2t}, conv3d_{2t} at indices 0/2/3/5.
+
+    With ``scale`` given, the conv3d_r2 weight/bias channels are also
+    de-interleaved from the official color-fastest order into the
+    color-major order our pixel_shuffle expects
+    (convert_models.py:378-396); pass the model's upscale factor when
+    converting real tensors (key-only round trips may omit it).
     """
     def dense(which):
         def fn(m):
@@ -166,7 +191,12 @@ def remap_duf_16l(state):
         (r'bn3d_2\.(.*)', r'bn3d2.\1'),
     ]
     passthrough = ('conv3d_r1.', 'conv3d_r2.', 'conv3d_f1.', 'conv3d_f2.')
-    return _apply(state, rules, passthrough)
+    renamed, unmatched = _apply(state, rules, passthrough)
+    if scale is not None:
+        for key in ('conv3d_r2.weight', 'conv3d_r2.bias'):
+            if key in renamed:
+                renamed[key] = _deinterleave_duf_filters(renamed[key], scale)
+    return renamed, unmatched
 
 
 def remap_stylegan2_g(state):
@@ -184,9 +214,16 @@ def remap_stylegan2_g(state):
         (r'to_rgb1\.conv\.(.*)', r'to_rgb1.modulated_conv.\1'),
         (r'to_rgbs\.(\d+)\.conv\.(.*)', r'to_rgbs.\1.modulated_conv.\2'),
         (r'noises\.noise_(\d+)$', r'noises.noise\1'),
-        # everything else keeps its name (reference's identity else
-        # branch: to_rgb biases, upsample kernels)
-        (r'(.*)', r'\1'),
+        # the reference's identity else-branch, but spelled out so that
+        # genuinely unknown official keys surface in `unmatched` instead
+        # of passing through silently: to_rgb biases and the fixed
+        # upfirdn smoothing kernels keep their names
+        (r'(to_rgb1\.bias)$', r'\1'),
+        (r'(to_rgbs\.\d+\.bias)$', r'\1'),
+        (r'(to_rgb1\.upsample\.kernel)$', r'\1'),
+        (r'(to_rgbs\.\d+\.upsample\.kernel)$', r'\1'),
+        (r'(convs\.\d+\.conv\.blur\.kernel)$', r'\1'),
+        (r'(conv1\.conv\.blur\.kernel)$', r'\1'),
     ]
     return _apply(state, rules)
 

@@ -270,8 +270,11 @@ def _gather_blend(static, tab, rows_t, cslot_t):
     Forward is identical to the inline formulation (XLA fuses each
     gather into its blend). The custom backward replaces XLA's
     per-(group, tap) sorted scatters — the dominant cost of a DCN train
-    step (~90 ms, 17 GB/s effective on v5e) — with one windowed one-hot
-    MXU col2im (`_col2im_add`). First-order only: reverse-over-reverse
+    step (~90 ms, 17 GB/s effective on v5e) — with the banded one-hot
+    MXU col2im (`_col2im_banded`; `_col2im_add` is an earlier
+    dynamic-window variant of the same idea, kept only as a
+    unit-tested study implementation, tests/test_dcn_col2im.py).
+    First-order only: reverse-over-reverse
     through this op is not defined (nothing in the framework
     second-differentiates a DCN; set EDVR_TPU_DCN_COL2IM=0 to restore
     plain autodiff if that ever changes).

@@ -57,6 +57,7 @@ def main():
     args = parser.parse_args()
 
     state = load_torch_weights(args.pth, args.param_key)
+    arch_args = json.loads(args.arch_args)
 
     remap = REMAPPERS[args.source]
     kwargs = {}
@@ -64,11 +65,13 @@ def main():
         kwargs['num_block'] = args.num_block
     if args.source == 'DFDNet':
         kwargs['vgg_names'] = NAMES['vgg19']
+    if args.source == 'DUF16':
+        # de-interleave the dynamic-filter head channels (the official
+        # layout is color-fastest; our pixel_shuffle is color-major)
+        kwargs['scale'] = arch_args.get('scale', 4)
     renamed, unmatched = remap(state, **kwargs)
     if unmatched:
         print('WARNING: official keys without a rename rule:', unmatched)
-
-    arch_args = json.loads(args.arch_args)
     net = define_network(dict(type=args.arch, **arch_args))
     if args.sample_shape:
         sample = jnp.zeros(tuple(json.loads(args.sample_shape)))

@@ -247,6 +247,45 @@ def test_duf16_official_roundtrip():
     roundtrip(keys, duf_to_official, remap_duf_16l)
 
 
+def test_duf16_conv3d_r2_deinterleave():
+    """Value-level check of the residual-head channel reorder.
+
+    The official DUF (a TF port) emits residual channels in TF
+    depth_to_space order — (dy, dx) position-major, color-fastest:
+    row (dy*s+dx)*3 + c. Torch-style pixel_shuffle (what our DUF arch
+    uses) expects color-major rows c*s^2 + dy*s + dx. The remap with
+    scale set must reorder so that pixel_shuffle(reordered) ==
+    depth_to_space(official) pixel for pixel.
+    """
+    s, h, w = 4, 3, 5
+    rng = np.random.RandomState(7)
+    official = rng.randn(3 * s * s, h, w).astype(np.float32)
+
+    # TF depth_to_space on the official layout
+    dts = official.reshape(s, s, 3, h, w).transpose(3, 0, 4, 1, 2)
+    dts = dts.reshape(h * s, w * s, 3)
+
+    state = {'conv3d_r2.weight': official,
+             'conv3d_r2.bias': np.arange(3 * s * s, dtype=np.float32)}
+    renamed, unmatched = remap_duf_16l(state, scale=s)
+    assert not unmatched
+    reordered = renamed['conv3d_r2.weight']
+
+    # torch pixel_shuffle on the reordered layout
+    ps = reordered.reshape(3, s, s, h, w).transpose(0, 3, 1, 4, 2)
+    ps = ps.reshape(3, h * s, w * s).transpose(1, 2, 0)
+    np.testing.assert_array_equal(ps, dts)
+
+    # bias rows follow the same permutation
+    bias = renamed['conv3d_r2.bias']
+    expect = np.concatenate([np.arange(c, 3 * s * s, 3) for c in range(3)])
+    np.testing.assert_array_equal(bias, expect.astype(np.float32))
+
+    # without scale (key-only round trips) values pass through untouched
+    renamed2, _ = remap_duf_16l(dict(state))
+    np.testing.assert_array_equal(renamed2['conv3d_r2.weight'], official)
+
+
 # ------------------------------------------------------------ StyleGAN2
 
 def sg2_g_to_official(k):

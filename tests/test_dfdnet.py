@@ -55,4 +55,8 @@ def test_fold_spectral_norm():
         plain.weight.copy_(torch.from_numpy(folded['weight']))
         plain.bias.copy_(torch.from_numpy(folded['bias']))
         out = plain(x)
-    np.testing.assert_allclose(out.numpy(), ref.numpy(), atol=1e-5)
+    # rtol-based: torch's spectral_norm power iteration and the folded
+    # weights agree to f32 roundoff, but output magnitudes are O(1e2)
+    # here so a pure-atol bound flakes at ~2e-5 relative error.
+    np.testing.assert_allclose(out.numpy(), ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
