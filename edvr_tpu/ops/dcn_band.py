@@ -397,13 +397,6 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
         sy_b = sy_ref[by]
         stx_b = stx_ref[bx] * 8
 
-        # sublane slot ids for the transposed (128, NC) lane expansion
-        # (compares stay i32 — the v5e VPU has no bf16 compare; the
-        # selected VALUES and multiplies run in packed etype)
-        ls = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-        ls_rs = ls // (PX * c_per)
-        ls_ps = (ls // c_per) % PX
-
         iota_y = jax.lax.broadcasted_iota(jnp.int32, (span_y, NC), 0)
         iota_x = jax.lax.broadcasted_iota(jnp.int32, (span_tx, NC), 0)
 
@@ -444,16 +437,27 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
                 win, onehot, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (128, NC)
 
-            # transposed lane-slot expansion: selects keyed on the
-            # SUBLANE id against (1, NC) rows — pure broadcasts.
-            # (Measured dead ends: bf16 compares are unsupported on
-            # v5e; bf16 mask-multiply-add expansions are ~20% SLOWER
-            # than f32 selects — the i1->bf16 converts dominate.)
-            wyE = jnp.where(ls_rs == ry0, wy0,
-                            jnp.where(ls_rs == ry0 + 1, wy1, 0.0))
-            wxE = jnp.where(ls_ps == px0, wx0,
-                            jnp.where(ls_ps == px0 + 1, wx1, 0.0))
-            blendT = (gT * wyE * wxE).astype(etype)      # (128, NC)
+            # Lane-slot expansion via (1, NC) slot-coefficient rows.
+            # Nonzero bilinear weights can only land on row-slot 0/1
+            # and pixel-slot 0..PX-1: wy0 != 0 requires vy0 = 1, which
+            # forces ty = y0i i.e. ry0 = 0; wy1 != 0 lands on slot
+            # ry0 + 1 which is 1 interior and 0 exactly when y0i = -1
+            # (ry0 = -1); same algebra for x.  So the per-lane keyed
+            # selects of the earlier version (four full (128, NC)
+            # wheres + two full (128, NC) multiplies per tap — the
+            # kernel's dominant VPU cost) collapse to (1, NC) row
+            # algebra + 2*PX sublane broadcasts + ONE full multiply.
+            ay0 = wy0 + jnp.where(ry0 == -1, wy1, 0.0)   # row-slot 0
+            ay1 = jnp.where(ry0 == 0, wy1, 0.0)          # row-slot 1
+            cparts = []
+            for ayr in (ay0, ay1):
+                for ps in range(PX):
+                    bxp = jnp.where(px0 == ps, wx0, 0.0) + \
+                        jnp.where(px0 == ps - 1, wx1, 0.0)
+                    coef = ayr * bxp                     # (1, NC)
+                    cparts.append(jnp.broadcast_to(coef, (c_per, NC)))
+            cfullT = jnp.concatenate(cparts, axis=0)     # (128, NC)
+            blendT = (gT * cfullT).astype(etype)         # (128, NC)
             acc = acc + jax.lax.dot_general(
                 blendT, w_ref[k, 0], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (NC, cout)
@@ -600,10 +604,6 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
         sy_b = sy_ref[by]
         stx_b = stx_ref[bx] * 8
 
-        ls = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-        ls_rs = ls // (PX * c_per)
-        ls_ps = (ls // c_per) % PX
-
         iota_y = jax.lax.broadcasted_iota(jnp.int32, (span_y, NC), 0)
         iota_x = jax.lax.broadcasted_iota(jnp.int32, (span_tx, NC), 0)
 
@@ -644,11 +644,23 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
                 win, onehot, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (128, NC)
 
-            wyE = jnp.where(ls_rs == ry0, wy0,
-                            jnp.where(ls_rs == ry0 + 1, wy1, 0.0))
-            wxE = jnp.where(ls_ps == px0, wx0,
-                            jnp.where(ls_ps == px0 + 1, wx1, 0.0))
-            cfullT = wyE * wxE                           # (128, NC)
+            # (1, NC) slot-coefficient rows (see band_forward): build
+            # the expansions as 2*PX sublane broadcasts instead of
+            # four (128, NC) keyed selects + a full multiply
+            ay = (wy0 + jnp.where(ry0 == -1, wy1, 0.0),  # row-slot 0
+                  jnp.where(ry0 == 0, wy1, 0.0))         # row-slot 1
+            bx = [jnp.where(px0 == ps, wx0, 0.0) +
+                  jnp.where(px0 == ps - 1, wx1, 0.0)
+                  for ps in range(PX)]
+            cfullT = jnp.concatenate(
+                [jnp.broadcast_to(ay[rs] * bx[ps], (c_per, NC))
+                 for rs in range(2) for ps in range(PX)], axis=0)
+            wyE = jnp.concatenate(
+                [jnp.broadcast_to(ay[rs], (PX * c_per, NC))
+                 for rs in range(2)], axis=0)            # (128, NC)
+            wxE = jnp.concatenate(
+                [jnp.broadcast_to(bx[ps], (c_per, NC))
+                 for rs in range(2) for ps in range(PX)], axis=0)
 
             # upstream piece gradient, transposed
             dpieceT = jax.lax.dot_general(
@@ -668,21 +680,32 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
 
             # analytic coordinate/mask gradient (col2im_coord):
             # dcslot contracted over channels happens implicitly in the
-            # masked sublane reductions below
+            # slot-block sublane reductions below
             prodT = dpieceT * gT                         # (128, NC)
             twy = prodT * wxE
             twx = prodT * wyE
-            # the slot holding wy0 is ry0[p] (0 interior, shifted when
-            # y0 clips at the border) — mask data-dependently, exactly
-            # like the forward expansion
-            dwy0 = jnp.sum(jnp.where(ls_rs == ry0, twy, 0.0), axis=0,
-                           keepdims=True)                # (1, NC)
-            dwy1 = jnp.sum(jnp.where(ls_rs == ry0 + 1, twy, 0.0),
-                           axis=0, keepdims=True)
-            dwx0 = jnp.sum(jnp.where(ls_ps == px0, twx, 0.0), axis=0,
-                           keepdims=True)
-            dwx1 = jnp.sum(jnp.where(ls_ps == px0 + 1, twx, 0.0),
-                           axis=0, keepdims=True)
+            # static per-slot-block sublane sums, then (1, NC) row
+            # selects keyed on the data-dependent slot: the slot
+            # holding wy0 is ry0[p] (0 interior, SHIFTED when y0 clips
+            # at the border) — fixed-slot reductions pass every
+            # interior-only test and silently corrupt border gradients
+            sy0 = jnp.sum(twy[:PX * c_per], axis=0,
+                          keepdims=True)                 # (1, NC)
+            sy1 = jnp.sum(twy[PX * c_per:], axis=0, keepdims=True)
+            sx = [jnp.sum(twx[ps * c_per:(ps + 1) * c_per], axis=0,
+                          keepdims=True) +
+                  jnp.sum(twx[(PX + ps) * c_per:
+                              (PX + ps + 1) * c_per], axis=0,
+                          keepdims=True)
+                  for ps in range(PX)]                   # PX x (1, NC)
+            dwy0 = (jnp.where(ry0 == 0, sy0, 0.0) +
+                    jnp.where(ry0 == 1, sy1, 0.0))
+            dwy1 = (jnp.where(ry0 == -1, sy0, 0.0) +
+                    jnp.where(ry0 == 0, sy1, 0.0))
+            dwx0 = sum(jnp.where(px0 == ps, sx[ps], 0.0)
+                       for ps in range(PX))
+            dwx1 = sum(jnp.where(px0 == ps - 1, sx[ps], 0.0)
+                       for ps in range(PX))
             d_dy = (-dwy0 * vy0 + dwy1 * vy1) * m
             d_dx = -dwx0 * vx0 + dwx1 * vx1
             d_m = dwy0 * (1 - fy) * vy0 + dwy1 * fy * vy1
