@@ -321,89 +321,92 @@ _gather_blend.defvjp(_gather_blend_fwd, _gather_blend_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _band_apply(static, tab4, oxm, rows, inw, wexp):
-    """Banded-kernel DCN core: (table, offsets+mask, weights) -> out.
+def _band_apply(static, tab4, off_b, msk_b, off, msk, wexp):
+    """Banded-kernel DCN core: (table, offsets, mask, weights) -> out.
 
     Forward runs the Pallas one-hot band kernel
-    (edvr_tpu/ops/dcn_band.py), which computes the bilinear/mask
-    coefficients in-kernel from the packed offsets, plus an exact
-    compacted patch for out-of-window points (rank-windowed while_loop;
-    exact for any outlier count). Backward regathers the sampled rows
-    (XLA gather), reconstructs the coefficients, and closes the chain
-    with the analytic coordinate gradient (the reference CUDA
-    col2im_coord, deform_conv_cuda_kernel.cu:374, in closed form).
-    First-order only.
+    (edvr_tpu/ops/dcn_band.py) — which computes the bilinear/mask
+    coefficients AND the in-window indicator in-kernel from the
+    pre-banded fields and writes NHWC output blocks directly — plus an
+    exact compacted patch for out-of-window points (rank-windowed
+    while_loop; exact for any outlier count). The offset/mask fields
+    come in TWICE: banded (the kernel layout — banding happens once,
+    outside this vjp, so its cotangent flows back through plain
+    autodiff) and NHWC (only the compacted patch's per-point scalar
+    reads touch it). Backward runs the band backward kernel on the
+    banded residuals and closes the chain with the analytic coordinate
+    gradient (the reference CUDA col2im_coord,
+    deform_conv_cuda_kernel.cu:374, in closed form). First-order only.
 
     Args:
-        static: (BandGeom, 1-D col2im geom tuple, c_per, interpret).
-        tab4: (n, dg, h, tiles_x, lanes) tile table (etype).
-        oxm: (dg, n, Hp, 3K, Wp) float32 packed offsets+mask
-            (dcn_band.pack_oxm).
-        rows: (T, n, P) int32 absolute table rows (non-diff; from
-            dcn_band.sample_rows_inw, used by the patch and backward).
-        inw: (T, n, P) bool in-window mask (non-diff).
+        static: (BandGeom, c_per, interpret).
+        tab4: (n, dg, h, tiles_x_pad, lanes) pre-padded tile table
+            (etype).
+        off_b: (dg, n, By, Bx, 2K, NC) float32 banded offsets.
+        msk_b: (dg, n, By, Bx, K, NC) float32 banded mask.
+        off: (n, out_h, out_w, dg*2K) float32 NHWC offsets.
+        msk: (n, out_h, out_w, dg*K) float32 NHWC mask (sigmoided).
         wexp: (K, dg, lanes, cout) slot-tiled weights (etype).
 
     Returns:
-        (n*P, cout) float32.
+        (n, Hp, Wp, cout) float32 band-padded NHWC output (caller
+        crops to out_h/out_w).
     """
     from edvr_tpu.ops import dcn_band
-    bgeom, geom1d, c_per, interpret = static
-    out5 = dcn_band.band_forward(bgeom, tab4, oxm, wexp,
-                                 interpret=interpret)
-    n_, By, Bx, NC, cout = out5.shape
-    out = out5.reshape(n_, By, Bx, bgeom.r, bgeom.bw, cout)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
-        n_, By * bgeom.r, Bx * bgeom.bw, cout)
-    out_flat = out[:, :bgeom.out_h, :bgeom.out_w].reshape(-1, cout)
-    T, n, P = rows.shape
-    cap = max(1024, (T * n * P) // 64)
+    bgeom, c_per, interpret = static
+    outp, inw = dcn_band.band_forward(bgeom, tab4, off_b, msk_b, wexp,
+                                      interpret=interpret)
+    cout = outp.shape[-1]
+    cap = max(1024, inw.size // 64)
     tab = tab4.reshape(-1, tab4.shape[-1])
-    return dcn_band.outlier_patch(bgeom, out_flat, tab, rows, oxm, inw,
-                                  wexp, tab.dtype, cap)
+    out_flat = dcn_band.outlier_patch(
+        bgeom, outp.reshape(-1, cout), tab, off, msk, inw, wexp,
+        tab.dtype, cap)
+    return out_flat.reshape(outp.shape)
 
 
-def _band_apply_fwd(static, tab4, oxm, rows, inw, wexp):
-    return (_band_apply(static, tab4, oxm, rows, inw, wexp),
-            (tab4, oxm, rows, inw, wexp))
+def _band_apply_fwd(static, tab4, off_b, msk_b, off, msk, wexp):
+    from edvr_tpu.ops import dcn_band
+    bgeom, c_per, interpret = static
+    outp, inw = dcn_band.band_forward(bgeom, tab4, off_b, msk_b, wexp,
+                                      interpret=interpret)
+    cout = outp.shape[-1]
+    cap = max(1024, inw.size // 64)
+    tab = tab4.reshape(-1, tab4.shape[-1])
+    out_flat = dcn_band.outlier_patch(
+        bgeom, outp.reshape(-1, cout), tab, off, msk, inw, wexp,
+        tab.dtype, cap)
+    return (out_flat.reshape(outp.shape),
+            (tab4, off_b, msk_b, off, msk, inw, wexp))
 
 
 def _band_apply_bwd(static, res, dout):
     """Backward via the banded Pallas kernel (dcn_band.band_backward):
     one-hot regather + windowed table gradient (no scatter) + analytic
     coordinate/mask gradient + accumulated weight gradient, plus the
-    exact compacted patch for out-of-window points."""
+    exact compacted patch for out-of-window points. `dout` arrives in
+    the kernel's native band-padded NHWC layout — no relayout; the
+    kernel's offset/mask gradients leave BANDED (the outer band_field
+    autodiff unbands them), the patch's leave NHWC. The in-window
+    indicator is a forward-kernel residual, not an input."""
     from edvr_tpu.ops import dcn_band
-    bgeom, geom1d, c_per, interpret = static
-    tab4, oxm, rows, inw, wexp = res
-    g_ = bgeom
-    n = tab4.shape[0]
-    cout = g_.cout
-    oh, ow = g_.out_h, g_.out_w
-    Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
-    doutb = dout.reshape(n, oh, ow, cout)
-    if (Hp, Wp) != (oh, ow):
-        doutb = jnp.pad(doutb, ((0, 0), (0, Hp - oh), (0, Wp - ow),
-                                (0, 0)))
-    doutb = doutb.reshape(n, g_.By, g_.r, g_.Bx, g_.bw, cout)
-    doutb = doutb.transpose(0, 1, 3, 2, 4, 5).reshape(
-        n, g_.By, g_.Bx, g_.NC, cout)
+    bgeom, c_per, interpret = static
+    tab4, off_b, msk_b, off, msk, inw, wexp = res
 
-    wg, d_oxm, dwexp = dcn_band.band_backward(
-        bgeom, tab4, oxm, doutb, wexp, interpret=interpret)
+    wg, d_off_b, d_msk_b, dwexp = dcn_band.band_backward(
+        bgeom, tab4, off_b, msk_b, dout, wexp, interpret=interpret)
     dtab = dcn_band.fold_windows(bgeom, wg, tab4.shape)
 
-    T, _, P = rows.shape
-    cap = max(1024, (T * n * P) // 64)
+    cap = max(1024, inw.size // 64)
     tab = tab4.reshape(-1, tab4.shape[-1])
     dtab_flat = dtab.reshape(-1, tab4.shape[-1])
-    dtab_flat, d_oxm, dwexp = dcn_band.outlier_patch_bwd(
-        bgeom, (dtab_flat, d_oxm, dwexp), tab, rows, oxm, inw, doutb,
-        wexp, tab.dtype, cap)
-    rows_ct = np.zeros(rows.shape, dtype=jax.dtypes.float0)
-    inw_ct = np.zeros(inw.shape, dtype=jax.dtypes.float0)
-    return (dtab_flat.reshape(tab4.shape).astype(tab4.dtype), d_oxm,
-            rows_ct, inw_ct, dwexp.astype(wexp.dtype))
+    d_off = jnp.zeros(off.shape, jnp.float32)
+    d_msk = jnp.zeros(msk.shape, jnp.float32)
+    dtab_flat, d_off, d_msk, dwexp = dcn_band.outlier_patch_bwd(
+        bgeom, (dtab_flat, d_off, d_msk, dwexp), tab, off, msk, inw,
+        dout, wexp, tab.dtype, cap)
+    return (dtab_flat.reshape(tab4.shape).astype(tab4.dtype), d_off_b,
+            d_msk_b, d_off, d_msk, dwexp.astype(wexp.dtype))
 
 
 _band_apply.defvjp(_band_apply_fwd, _band_apply_bwd)
@@ -569,42 +572,6 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
     ctype = jnp.promote_types(offset.dtype, jnp.float32)
     acc_type = jnp.promote_types(x.dtype, jnp.float32)
 
-    # ---- build the packed tile table -----------------------------------
-    # window column indices (tiles_x * PX,), zero-filled beyond w
-    col_idx = (np.arange(tiles_x)[:, None] * SX +
-               np.arange(PX)[None, :]).reshape(-1)
-    col_valid = jnp.asarray((col_idx < w).astype(np.float32))
-    col_idx = jnp.asarray(np.minimum(col_idx, w - 1))
-    # (n, h, tiles_x*PX, cin); built directly in the blend dtype so the
-    # hot gathers read half the bytes on the fast path
-    tab = jnp.take(x, col_idx, axis=2) * col_valid[None, None, :, None]
-    # vertical pair: row r=1 is the next image row (zero at the bottom)
-    tab_dn = jnp.concatenate(
-        [tab[:, 1:], jnp.zeros_like(tab[:, :1])], axis=1)
-    # (n, h, 2, tiles_x, PX, dg, c_per)
-    tab = jnp.stack([tab, tab_dn], axis=2).reshape(
-        n, h, 2, tiles_x, PX, dg, c_per)
-    # -> (n, dg, h, tiles_x, 2, PX, c_per) -> rows of `lanes`
-    tab = tab.transpose(0, 5, 1, 3, 2, 4, 6).reshape(
-        n * dg * h * tiles_x, lanes)
-
-    row_base = (np.arange(n * dg, dtype=np.int32) *
-                (h * tiles_x)).reshape(n, dg)[:, :, None]
-    row_base = jnp.asarray(row_base)
-
-    # ---- static tap bases ----------------------------------------------
-    base_y = np.arange(out_h) * stride - padding
-    base_x = np.arange(out_w) * stride - padding
-    pos_y0 = np.broadcast_to(base_y[:, None], (out_h, out_w)).reshape(P)
-    pos_x0 = np.broadcast_to(base_x[None, :], (out_h, out_w)).reshape(P)
-    pos_y0 = jnp.asarray(pos_y0.astype(np.float32), dtype=ctype)
-    pos_x0 = jnp.asarray(pos_x0.astype(np.float32), dtype=ctype)
-
-    off = offset.reshape(n, P, dg, K, 2)
-    dy = off[..., 0].transpose(0, 2, 3, 1).astype(ctype)  # (n, dg, K, P)
-    dx = off[..., 1].transpose(0, 2, 3, 1).astype(ctype)
-    msk = mask.reshape(n, P, dg, K).transpose(0, 2, 3, 1)
-
     # Precision policy: mirror XLA's matmul precision. Under the default
     # (bf16-pass) precision, the sampled table and blend run in bf16 —
     # exactly the quantization every conv in the network already applies
@@ -617,12 +584,6 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
         etype = jnp.bfloat16
     else:
         etype = acc_type
-    tab = tab.astype(etype)
-    # slot id decomposition at (row, pixel) resolution — the blend
-    # coefficient is constant across the c_per channels of a slot, so
-    # the compares/selects run at 2*PX width and broadcast up
-    slot_r = jax.lax.broadcasted_iota(jnp.int32, (1, 2, PX), 1)
-    slot_p = jax.lax.broadcasted_iota(jnp.int32, (1, 2, PX), 2)
 
     # weights tiled across the (row, pixel) lane slots:
     # wexp[k, g, lane=(r, p, c), o]
@@ -667,7 +628,7 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
             stride, padding, dilation,
             r=int(os.environ.get('EDVR_TPU_DCN_BAND_R', '8')),
             bw=int(os.environ.get('EDVR_TPU_DCN_BAND_BW', '64')),
-            J=int(os.environ.get('EDVR_TPU_DCN_BAND_J', '4')),
+            J=int(os.environ.get('EDVR_TPU_DCN_BAND_J', '2')),
             w_pix=w)
         # 4096 admits the canonical 64px train crops — with the
         # band BACKWARD kernel the train step drops 356 -> 128 ms
@@ -678,33 +639,92 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
         if not bgeom.eligible() or out_h * out_w < min_p:
             bgeom = None
     use_band = bgeom is not None
+
+    if use_band:
+        # the banded Pallas kernel computes the bilinear coefficients
+        # AND the in-window indicator in-kernel from the banded
+        # offset/mask fields and writes NHWC band blocks, so the
+        # XLA-side prep is exactly: padded table build (one gather +
+        # one transpose, in etype) and one banded transpose per field
+        # (earlier versions also materialized (dg*K, n, P) rows,
+        # double-transposed the fields, and computed the in-window
+        # mask in XLA — ~19 ms of layout/loop ops per L1 call, as
+        # large as the kernel itself)
+        from edvr_tpu.ops import dcn_band
+        txp = bgeom.tiles_x_pad
+        col_idx = (np.arange(txp)[:, None] * SX +
+                   np.arange(PX)[None, :]).reshape(-1)
+        col_valid = jnp.asarray((col_idx < w).astype(np.float32))
+        col_idx = jnp.asarray(np.minimum(col_idx, w - 1))
+        tab = (jnp.take(x, col_idx, axis=2) *
+               col_valid[None, None, :, None]).astype(etype)
+        tab_dn = jnp.concatenate(
+            [tab[:, 1:], jnp.zeros_like(tab[:, :1])], axis=1)
+        tab4 = jnp.stack([tab, tab_dn], axis=2).reshape(
+            n, h, 2, txp, PX, dg, c_per)
+        tab4 = tab4.transpose(0, 5, 1, 3, 2, 4, 6).reshape(
+            n, dg, h, txp, lanes)
+
+        off_f = offset.reshape(n, out_h, out_w,
+                               dg * 2 * K).astype(jnp.float32)
+        msk_f = mask.reshape(n, out_h, out_w,
+                             dg * K).astype(jnp.float32)
+        off_b = dcn_band.band_field(bgeom, off_f, 2 * K)
+        msk_b = dcn_band.band_field(bgeom, msk_f, K)
+        outp = _band_apply((bgeom, c_per, band_interpret),
+                           tab4, off_b, msk_b, off_f, msk_f, wexp)
+        out = outp[:, :out_h, :out_w].astype(x.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
+
+    # ---- build the packed tile table (gather path) ---------------------
+    # window column indices (tiles_x * PX,), zero-filled beyond w
+    col_idx = (np.arange(tiles_x)[:, None] * SX +
+               np.arange(PX)[None, :]).reshape(-1)
+    col_valid = jnp.asarray((col_idx < w).astype(np.float32))
+    col_idx = jnp.asarray(np.minimum(col_idx, w - 1))
+    # (n, h, tiles_x*PX, cin); built directly in the blend dtype so the
+    # hot gathers read half the bytes on the fast path
+    tab = jnp.take(x, col_idx, axis=2) * col_valid[None, None, :, None]
+    # vertical pair: row r=1 is the next image row (zero at the bottom)
+    tab_dn = jnp.concatenate(
+        [tab[:, 1:], jnp.zeros_like(tab[:, :1])], axis=1)
+    # (n, h, 2, tiles_x, PX, dg, c_per)
+    tab = jnp.stack([tab, tab_dn], axis=2).reshape(
+        n, h, 2, tiles_x, PX, dg, c_per)
+    # -> (n, dg, h, tiles_x, 2, PX, c_per) -> rows of `lanes`
+    tab = tab.transpose(0, 5, 1, 3, 2, 4, 6).reshape(
+        n * dg * h * tiles_x, lanes).astype(etype)
+
+    row_base = (np.arange(n * dg, dtype=np.int32) *
+                (h * tiles_x)).reshape(n, dg)[:, :, None]
+    row_base = jnp.asarray(row_base)
+
+    # ---- static tap bases ----------------------------------------------
+    base_y = np.arange(out_h) * stride - padding
+    base_x = np.arange(out_w) * stride - padding
+    pos_y0 = np.broadcast_to(base_y[:, None], (out_h, out_w)).reshape(P)
+    pos_x0 = np.broadcast_to(base_x[None, :], (out_h, out_w)).reshape(P)
+    pos_y0 = jnp.asarray(pos_y0.astype(np.float32), dtype=ctype)
+    pos_x0 = jnp.asarray(pos_x0.astype(np.float32), dtype=ctype)
+
+    off = offset.reshape(n, P, dg, K, 2)
+    dy = off[..., 0].transpose(0, 2, 3, 1).astype(ctype)  # (n, dg, K, P)
+    dx = off[..., 1].transpose(0, 2, 3, 1).astype(ctype)
+    msk = mask.reshape(n, P, dg, K).transpose(0, 2, 3, 1)
+
+    # slot id decomposition at (row, pixel) resolution — the blend
+    # coefficient is constant across the c_per channels of a slot, so
+    # the compares/selects run at 2*PX width and broadcast up
+    slot_r = jax.lax.broadcasted_iota(jnp.int32, (1, 2, PX), 1)
+    slot_p = jax.lax.broadcasted_iota(jnp.int32, (1, 2, PX), 2)
+
     out = jnp.zeros((n * P, cout), dtype=acc_type)
     # statically unrolled (group, tap) loop: each iteration is one wide
     # row-gather + fused slot-select blend; a group's K tap blocks
     # concatenate along lanes into ONE (n*P, K*lanes) MXU GEMM,
     # minimizing accumulator round-trips (measured fastest structure)
-    if use_band:
-        # the banded Pallas kernel computes the bilinear coefficients
-        # in-kernel from the packed offsets (earlier versions
-        # materialized per-stream index/coefficient arrays here —
-        # 763 MB and ~28 ms of layout copies at the EDVR-M L1 shape);
-        # only the vectorized row/in-window prep runs in XLA
-        from edvr_tpu.ops import dcn_band
-        oxm = dcn_band.pack_oxm(
-            bgeom, dy.astype(jnp.float32), dx.astype(jnp.float32),
-            msk.astype(jnp.float32))
-        rows_b, inw_b = dcn_band.sample_rows_inw(
-            bgeom, dy.astype(jnp.float32), dx.astype(jnp.float32))
-        geom1d = (n, dg, K, kw, h, out_h, out_w, tiles_x, stride,
-                  padding, dilation)
-        out = _band_apply((bgeom, geom1d, c_per, band_interpret),
-                          tab.reshape(n, dg, h, tiles_x, lanes),
-                          oxm, rows_b, inw_b, wexp)
-        out = out.reshape(n, out_h, out_w, cout).astype(x.dtype)
-        if bias is not None:
-            out = out + bias
-        return out
-
     rows_all, cslots_all = [], []
     pieces_by_g = []
     for g in range(dg):

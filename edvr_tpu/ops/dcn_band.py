@@ -153,124 +153,43 @@ def _div_magic(sx):
     return m
 
 
-def pack_oxm(geom, dy, dx, msk):
-    """Pack offsets and mask into the kernel's banded input layout.
+def band_field(geom, arr, nch):
+    """(n, out_h, out_w, dg*nch) NHWC field -> banded kernel layout.
 
     The kernel computes everything in "row space" — every per-tap
     quantity is a (1, NC) lane row, so the channel extraction is a
     plain sublane slice and NO vector relayouts happen in-kernel. That
     requires the points of a band contiguous on the minor dim, hence
-    this banded layout (the one transpose here, ~254 MB at the EDVR-M
-    L1 shape, replaces what used to be 763 MB of per-stream coefficient
-    materialization).
-
-    Args:
-        geom: BandGeom.
-        dy, dx: (n, dg, K, P) float offsets.
-        msk: (n, dg, K, P) float mask (pre-sigmoided).
+    this banded layout: ONE pad+transpose per field (offsets, mask),
+    straight from the conv's native NHWC output. Channel order within
+    a group is preserved, so for the offset field channel 2k/2k+1 is
+    tap k's dy/dx and for the mask field channel k is tap k's m —
+    exactly the kernel's slicing convention.
 
     Returns:
-        (dg, n, By, Bx, 3K, NC) float32: channels [dy_0, dx_0, dy_1,
-        ..., dx_{K-1}, m_0..m_{K-1}] per (group, image, band).
+        (dg, n, By, Bx, nch, NC) float32.
     """
     g_ = geom
-    n, dg, K, P = dy.shape
-    off = jnp.stack([dy, dx], axis=3).reshape(n, dg, 2 * K, P)
-    oxm = jnp.concatenate([off, msk], axis=2)       # (n, dg, 3K, P)
-    oxm = oxm.reshape(n, dg, 3 * K, g_.out_h, g_.out_w)
-    oxm = oxm.astype(jnp.float32)
+    n = arr.shape[0]
     Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
+    arr = arr.astype(jnp.float32)
     if Hp != g_.out_h or Wp != g_.out_w:
-        oxm = jnp.pad(oxm, ((0, 0), (0, 0), (0, 0),
-                            (0, Hp - g_.out_h), (0, Wp - g_.out_w)))
-    oxm = oxm.reshape(n, dg, 3 * K, g_.By, g_.r, g_.Bx, g_.bw)
-    oxm = oxm.transpose(1, 0, 3, 5, 2, 4, 6).reshape(
-        dg, n, g_.By, g_.Bx, 3 * K, g_.NC)
-    return oxm
+        arr = jnp.pad(arr, ((0, 0), (0, Hp - g_.out_h),
+                            (0, Wp - g_.out_w), (0, 0)))
+    a = arr.reshape(n, g_.By, g_.r, g_.Bx, g_.bw, g_.dg, nch)
+    a = a.transpose(5, 0, 1, 3, 6, 2, 4).reshape(
+        g_.dg, n, g_.By, g_.Bx, nch, g_.NC)
+    return a
 
 
-def unband_channel(geom, arr):
-    """(dg?, n, By, Bx, NC) banded channel -> (..., out_h, out_w)."""
+def unband_field(geom, a):
+    """Banded (dg, n, By, Bx, nch, NC) -> (n, out_h, out_w, dg*nch)."""
     g_ = geom
-    lead = arr.shape[:-3]
-    a = arr.reshape(*lead, g_.By, g_.Bx, g_.r, g_.bw)
-    nd = a.ndim
-    perm = tuple(range(nd - 4)) + (nd - 4, nd - 2, nd - 3, nd - 1)
-    a = a.transpose(*perm).reshape(*lead, g_.By * g_.r, g_.Bx * g_.bw)
-    return a[..., :g_.out_h, :g_.out_w]
-
-
-def band_channel(geom, arr):
-    """(..., out_h, out_w) -> banded (..., By, Bx, NC) channel."""
-    g_ = geom
-    lead = arr.shape[:-2]
-    Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
-    if (Hp, Wp) != (g_.out_h, g_.out_w):
-        pad = ((0, 0),) * len(lead) + ((0, Hp - g_.out_h),
-                                       (0, Wp - g_.out_w))
-        arr = jnp.pad(arr, pad)
-    a = arr.reshape(*lead, g_.By, g_.r, g_.Bx, g_.bw)
-    nd = a.ndim
-    perm = tuple(range(nd - 4)) + (nd - 4, nd - 2, nd - 3, nd - 1)
-    return a.transpose(*perm).reshape(*lead, g_.By, g_.Bx, g_.NC)
-
-
-def sample_rows_inw(geom, dy, dx):
-    """Vectorized absolute table rows + in-window mask for all streams.
-
-    Mirrors the in-kernel position math (one fused elementwise graph —
-    NOT 72 unrolled stream graphs) for the outlier patch and the
-    backward regather.
-
-    Args:
-        dy, dx: (n, dg, K, P) float offsets.
-
-    Returns:
-        rows: (T, n, P) int32 absolute table rows (T = dg*K, g-major).
-        inw: (T, n, P) bool in-window mask.
-    """
-    g_ = geom
-    n, dg, K, P = dy.shape
-    pos_y, pos_x = _pos_grids(g_)
-    i_of = (np.arange(K) // g_.kw).astype(np.float32) * g_.dilation
-    j_of = (np.arange(K) % g_.kw).astype(np.float32) * g_.dilation
-    cy = pos_y[None, None, None] + i_of[None, None, :, None] + dy
-    cx = pos_x[None, None, None] + j_of[None, None, :, None] + dx
-    y0i = jnp.floor(cy).astype(jnp.int32)
-    x0i = jnp.floor(cx).astype(jnp.int32)
-    ty = jnp.clip(y0i, 0, g_.h - 1)
-    tx = jnp.clip(jnp.floor_divide(x0i, g_.SX), 0, g_.tiles_x - 1)
-    base = ((np.arange(n) * dg)[:, None] +
-            np.arange(dg)[None, :]).astype(np.int32) * (g_.h * g_.tiles_x)
-    rows = ty * g_.tiles_x + tx + jnp.asarray(base)[:, :, None, None]
-    sy, stx = _start_grids(g_)
-    ry = ty - sy[None, None, None]
-    rx = tx - stx[None, None, None]
-    inw = ((ry >= 0) & (ry < g_.span_y) & (rx >= 0) & (rx < g_.span_tx))
-    rows = rows.transpose(1, 2, 0, 3).reshape(dg * K, n, P)
-    inw = inw.transpose(1, 2, 0, 3).reshape(dg * K, n, P)
-    return rows, inw
-
-
-def _pos_grids(geom):
-    g_ = geom
-    P = g_.out_h * g_.out_w
-    by = np.arange(g_.out_h) * g_.stride - g_.padding
-    bx = np.arange(g_.out_w) * g_.stride - g_.padding
-    pos_y = np.broadcast_to(by[:, None], (g_.out_h, g_.out_w)).reshape(P)
-    pos_x = np.broadcast_to(bx[None, :], (g_.out_h, g_.out_w)).reshape(P)
-    return (jnp.asarray(pos_y.astype(np.float32)),
-            jnp.asarray(pos_x.astype(np.float32)))
-
-
-def _start_grids(geom):
-    g_ = geom
-    P = g_.out_h * g_.out_w
-    sy = np.repeat(geom.start_y, g_.r)[:g_.out_h]
-    stx = np.repeat(geom.start_tx, g_.bw)[:g_.out_w]
-    sy = np.broadcast_to(sy[:, None], (g_.out_h, g_.out_w)).reshape(P)
-    stx = np.broadcast_to(stx[None, :], (g_.out_h, g_.out_w)).reshape(P)
-    return jnp.asarray(sy.astype(np.int32)), jnp.asarray(stx.astype(np.int32))
+    dg, n, By, Bx, nch, NC = a.shape
+    a = a.reshape(dg, n, By, Bx, nch, g_.r, g_.bw)
+    a = a.transpose(1, 2, 5, 3, 6, 0, 4).reshape(
+        n, By * g_.r, Bx * g_.bw, dg * nch)
+    return a[:, :g_.out_h, :g_.out_w]
 
 
 def point_coeffs(geom, dy, dx, m, pos_y, pos_x):
@@ -308,25 +227,38 @@ def point_coeffs(geom, dy, dx, m, pos_y, pos_x):
 
 
 @functools.partial(jax.jit, static_argnames=('geom', 'interpret'))
-def band_forward(geom, tab4, oxm, wexp, interpret=False):
+def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
     """Banded DCN forward: in-kernel coefficients + one-hot MXU select.
 
     Fully "row-space": every per-tap quantity lives as a (1, NC) or
     (x, NC) array with band points on lanes, the bilinear lane-slot
     expansion uses sublane-iota selects on the TRANSPOSED gather result
     (128, NC), and both MXU contractions keep NC on the non-contracted
-    side — zero vector relayouts in the whole kernel.
+    side — zero vector relayouts in the whole kernel.  The output is
+    written as NHWC (1, r, bw, cout) band blocks — the (NC, cout) ->
+    (r, bw, cout) split is a free sublane reshape, so the caller never
+    unbands anything.
 
     Args:
         geom: BandGeom.
-        tab4: (n, dg, h, tiles_x, 128) tile table (etype).
-        oxm: (dg, n, By, Bx, 3K, NC) float32 packed offsets+mask
-            (`pack_oxm`).
+        tab4: (n, dg, h, tiles_x_pad, 128) tile table (etype), built
+            at the 8-aligned padded tile width.
+        off_b: (dg, n, By, Bx, 2K, NC) float32 banded offsets
+            (`band_field`).
+        msk_b: (dg, n, By, Bx, K, NC) float32 banded mask.
         wexp: (K, dg, 128, cout) slot-tiled weights (etype).
 
     Returns:
-        (n, By, Bx, NC, cout) float32 banded output (`unband_channel`
-        per cout-slice, or reshape via the caller).
+        out: (n, By*r, Bx*bw, cout) float32 NHWC output (caller crops
+            the band padding).
+        inw: (dg, n, By, Bx, K, NC) float32 in-window indicator (1.0
+            where the tap's one-hot row is nonzero OR the point is
+            band padding). Computing this IN-KERNEL from the kernel's
+            own ty/tx makes it consistent-by-construction with the
+            one-hot (the patch must cover exactly the zero rows) and
+            deletes the equivalent XLA elementwise graph, which
+            compiled to ~17 ms of loop/dynamic-update-slice ops per
+            EDVR-M L1 call — as much as the kernel itself.
     """
     TRACE_COUNTS['fwd'] += 1
     g_ = geom
@@ -341,10 +273,7 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
     div_mul = _div_magic(g_.SX)
     bw_shift = bw.bit_length() - 1
     assert bw == 1 << bw_shift, 'bw must be a power of two'
-
-    if g_.tiles_x_pad != g_.tiles_x:
-        tab4 = jnp.pad(tab4, ((0, 0), (0, 0), (0, 0),
-                              (0, g_.tiles_x_pad - g_.tiles_x), (0, 0)))
+    assert tab4.shape[3] == g_.tiles_x_pad, 'table must be pre-padded'
 
     start_y = jnp.asarray(g_.start_y)
     # tiled-dim starts are 8-aligned by construction; pass them divided
@@ -352,8 +281,10 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
     start_tx8 = jnp.asarray(g_.start_tx // 8)
     nsteps = g_.n * By * Bx * dg
 
-    def kernel(sy_ref, stx_ref, oxm_ref, w_ref, tab_ref, out_ref,
-               win_ref, sem_ref):
+    out_h, out_w = g_.out_h, g_.out_w
+
+    def kernel(sy_ref, stx_ref, off_ref, msk_ref, w_ref, tab_ref,
+               out_ref, inw_ref, win_ref, sem_ref):
         ni = pl.program_id(0)
         by = pl.program_id(1)
         bx = pl.program_id(2)
@@ -400,12 +331,17 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
         iota_y = jax.lax.broadcasted_iota(jnp.int32, (span_y, NC), 0)
         iota_x = jax.lax.broadcasted_iota(jnp.int32, (span_tx, NC), 0)
 
+        # band-padding points (beyond out_h/out_w): in-window by fiat
+        # so the outlier patch never touches them (their output is
+        # garbage but cropped by the caller)
+        pad_pt = (yo >= out_h) | (xo >= out_w)           # (1, NC)
+
         acc = jnp.zeros((NC, cout), jnp.float32)
         for k in range(K):
             i, j = divmod(k, g_.kw)
-            dy = oxm_ref[0, 0, 0, 0, 2 * k, :].reshape(1, NC)
-            dx = oxm_ref[0, 0, 0, 0, 2 * k + 1, :].reshape(1, NC)
-            m = oxm_ref[0, 0, 0, 0, 2 * K + k, :].reshape(1, NC)
+            dy = off_ref[0, 0, 0, 0, 2 * k, :].reshape(1, NC)
+            dx = off_ref[0, 0, 0, 0, 2 * k + 1, :].reshape(1, NC)
+            m = msk_ref[0, 0, 0, 0, k, :].reshape(1, NC)
             cy = posy + i * g_.dilation + dy
             cx = posx + j * g_.dilation + dx
             y0 = jnp.floor(cy)
@@ -430,8 +366,15 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
             wx0 = (1 - fx) * vx0
             wx1 = fx * vx1
 
-            oy = (iota_y == (ty - sy_b)).astype(etype)   # (span_y, NC)
-            ox = (iota_x == (tx - stx_b)).astype(etype)  # (span_tx, NC)
+            ry = ty - sy_b
+            rx = tx - stx_b
+            inw_k = (((ry >= 0) & (ry < span_y) &
+                      (rx >= 0) & (rx < span_tx)) | pad_pt)
+            inw_ref[0, 0, 0, 0, pl.ds(k, 1), :] = \
+                inw_k.astype(jnp.float32)
+
+            oy = (iota_y == ry).astype(etype)            # (span_y, NC)
+            ox = (iota_x == rx).astype(etype)            # (span_tx, NC)
             onehot = (oy[:, None, :] * ox[None, :, :]).reshape(W, NC)
             gT = jax.lax.dot_general(
                 win, onehot, (((0,), (0,)), ((), ())),
@@ -462,7 +405,10 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
                 blendT, w_ref[k, 0], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (NC, cout)
 
-        acc = acc.reshape(1, 1, 1, NC, cout)
+        # (NC, cout) -> (1, r, bw, cout): splitting NC into (r, bw)
+        # keeps the minor dims' layout — a free view, giving NHWC
+        # output blocks with no caller-side unbanding transpose
+        acc = acc.reshape(1, r, bw, cout)
 
         @pl.when(gi == 0)
         def _init():
@@ -473,13 +419,16 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
             out_ref[...] = out_ref[...] + acc
 
     grid = (g_.n, By, Bx, dg)
-    out = pl.pallas_call(
+    out, inw = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1, 3 * K, NC),
+            pl.BlockSpec((1, 1, 1, 1, 2 * K, NC),
+                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, K, NC),
                          lambda n, y, x, g: (g, n, y, x, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 1, 128, cout),
@@ -487,22 +436,32 @@ def band_forward(geom, tab4, oxm, wexp, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, NC, cout),
-                               lambda n, y, x, g: (n, y, x, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (g_.n, By, Bx, NC, cout), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, r, bw, cout),
+                         lambda n, y, x, g: (n, y, x, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, K, NC),
+                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (g_.n, By * r, Bx * bw, cout), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (dg, g_.n, By, Bx, K, NC), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, span_y, span_tx, 128), etype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(start_y, start_tx8, oxm, wexp, tab4)
-    return out
+    )(start_y, start_tx8, off_b, msk_b, wexp, tab4)
+    return out, inw
 
 
 @functools.partial(jax.jit, static_argnames=('geom', 'interpret'))
-def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
+def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
+                  interpret=False):
     """Banded DCN backward: table-gradient windows + analytic
     coordinate/mask gradients + weight gradient, all in VMEM.
 
@@ -525,15 +484,20 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
 
     Args:
         geom: BandGeom.
-        tab4: (n, dg, h, tiles_x, 128) tile table (etype).
-        oxm: (dg, n, By, Bx, 3K, NC) float32 packed offsets+mask.
-        doutb: (n, By, Bx, NC, cout) float32 banded output cotangent.
+        tab4: (n, dg, h, tiles_x_pad, 128) tile table (etype),
+            pre-padded.
+        off_b: (dg, n, By, Bx, 2K, NC) float32 banded offsets.
+        msk_b: (dg, n, By, Bx, K, NC) float32 banded mask.
+        doutp: (n, By*r, Bx*bw, cout) float32 NHWC output cotangent
+            (band-padded; the (1, r, bw, cout) block -> (NC, cout)
+            merge is a free sublane reshape in-kernel).
         wexp: (K, dg, 128, cout) slot-tiled weights (etype).
 
     Returns:
         wg: (n, By, Bx, dg, span_y, span_tx, 128) float32 per-band
             table-gradient windows (fold at geom.start_y/start_tx).
-        d_oxm: (dg, n, By, Bx, 3K, NC) float32.
+        d_off_b: (dg, n, By, Bx, 2K, NC) float32.
+        d_msk_b: (dg, n, By, Bx, K, NC) float32.
         dwexp: (K, dg, 128, cout) float32.
     """
     TRACE_COUNTS['bwd'] += 1
@@ -549,17 +513,15 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
     div_mul = _div_magic(g_.SX)
     bw_shift = bw.bit_length() - 1
     assert bw == 1 << bw_shift, 'bw must be a power of two'
-
-    if g_.tiles_x_pad != g_.tiles_x:
-        tab4 = jnp.pad(tab4, ((0, 0), (0, 0), (0, 0),
-                              (0, g_.tiles_x_pad - g_.tiles_x), (0, 0)))
+    assert tab4.shape[3] == g_.tiles_x_pad, 'table must be pre-padded'
 
     start_y = jnp.asarray(g_.start_y)
     start_tx8 = jnp.asarray(g_.start_tx // 8)
     nsteps = g_.n * By * Bx * dg
 
-    def kernel(sy_ref, stx_ref, oxm_ref, dout_ref, w_ref, tab_ref,
-               wg_ref, dox_ref, dw_ref, win_ref, sem_ref):
+    def kernel(sy_ref, stx_ref, off_ref, msk_ref, dout_ref, w_ref,
+               tab_ref, wg_ref, doff_ref, dmsk_ref, dw_ref, win_ref,
+               sem_ref):
         ni = pl.program_id(0)
         by = pl.program_id(1)
         bx = pl.program_id(2)
@@ -594,7 +556,8 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
 
         copy_for(ni, by, bx, gi, slot).wait()
         win = win_ref[slot].reshape(W, 128)
-        dout_e = dout_ref[0, 0, 0].astype(etype)         # (NC, cout)
+        # NHWC (1, r, bw, cout) block -> (NC, cout): free sublane merge
+        dout_e = dout_ref[...].reshape(NC, cout).astype(etype)
 
         pn = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
         yo = by * r + (pn >> bw_shift)
@@ -610,9 +573,9 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
         wg_acc = jnp.zeros((W, 128), jnp.float32)
         for k in range(K):
             i, j = divmod(k, g_.kw)
-            dy = oxm_ref[0, 0, 0, 0, 2 * k, :].reshape(1, NC)
-            dx = oxm_ref[0, 0, 0, 0, 2 * k + 1, :].reshape(1, NC)
-            m = oxm_ref[0, 0, 0, 0, 2 * K + k, :].reshape(1, NC)
+            dy = off_ref[0, 0, 0, 0, 2 * k, :].reshape(1, NC)
+            dx = off_ref[0, 0, 0, 0, 2 * k + 1, :].reshape(1, NC)
+            m = msk_ref[0, 0, 0, 0, k, :].reshape(1, NC)
             cy = posy + i * g_.dilation + dy
             cx = posx + j * g_.dilation + dx
             y0 = jnp.floor(cy)
@@ -709,24 +672,27 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
             d_dy = (-dwy0 * vy0 + dwy1 * vy1) * m
             d_dx = -dwx0 * vx0 + dwx1 * vx1
             d_m = dwy0 * (1 - fy) * vy0 + dwy1 * fy * vy1
-            dox_ref[0, 0, 0, 0, pl.ds(2 * k, 1), :] = d_dy
-            dox_ref[0, 0, 0, 0, pl.ds(2 * k + 1, 1), :] = d_dx
-            dox_ref[0, 0, 0, 0, pl.ds(2 * K + k, 1), :] = d_m
+            doff_ref[0, 0, 0, 0, pl.ds(2 * k, 1), :] = d_dy
+            doff_ref[0, 0, 0, 0, pl.ds(2 * k + 1, 1), :] = d_dx
+            dmsk_ref[0, 0, 0, 0, pl.ds(k, 1), :] = d_m
 
         wg_ref[...] = wg_acc.reshape(1, 1, 1, 1, span_y, span_tx, 128)
 
     grid = (g_.n, By, Bx, dg)
-    wg, d_oxm, dwexp = pl.pallas_call(
+    wg, d_off_b, d_msk_b, dwexp = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1, 3 * K, NC),
+            pl.BlockSpec((1, 1, 1, 1, 2 * K, NC),
                          lambda n, y, x, g: (g, n, y, x, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, NC, cout),
-                         lambda n, y, x, g: (n, y, x, 0, 0),
+            pl.BlockSpec((1, 1, 1, 1, K, NC),
+                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, bw, cout),
+                         lambda n, y, x, g: (n, y, x, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 1, 128, cout),
                          lambda n, y, x, g: (0, g, 0, 0),
@@ -737,7 +703,10 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
             pl.BlockSpec((1, 1, 1, 1, span_y, span_tx, 128),
                          lambda n, y, x, g: (n, y, x, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, 3 * K, NC),
+            pl.BlockSpec((1, 1, 1, 1, 2 * K, NC),
+                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, K, NC),
                          lambda n, y, x, g: (g, n, y, x, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, dg, 128, cout),
@@ -748,7 +717,9 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
             jax.ShapeDtypeStruct(
                 (g_.n, By, Bx, dg, span_y, span_tx, 128), jnp.float32),
             jax.ShapeDtypeStruct(
-                (dg, g_.n, By, Bx, 3 * K, NC), jnp.float32),
+                (dg, g_.n, By, Bx, 2 * K, NC), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (dg, g_.n, By, Bx, K, NC), jnp.float32),
             jax.ShapeDtypeStruct((K, dg, 128, cout), jnp.float32),
         ],
         scratch_shapes=[
@@ -756,8 +727,8 @@ def band_backward(geom, tab4, oxm, doutb, wexp, interpret=False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(start_y, start_tx8, oxm, doutb, wexp, tab4)
-    return wg, d_oxm, dwexp
+    )(start_y, start_tx8, off_b, msk_b, doutp, wexp, tab4)
+    return wg, d_off_b, d_msk_b, dwexp
 
 
 def fold_windows(geom, wg, tab_shape):
@@ -768,84 +739,102 @@ def fold_windows(geom, wg, tab_shape):
 
     Args:
         wg: (n, By, Bx, dg, span_y, span_tx, 128) float32.
-        tab_shape: (n, dg, h, tiles_x, 128).
+        tab_shape: (n, dg, h, tiles_x_pad, 128) — the PADDED table
+            shape (the padded tile columns carry zero gradient; the
+            caller's table-build autodiff discards them).
     Returns:
-        (n, dg, h, tiles_x, 128) float32 table gradient.
+        (n, dg, h, tiles_x_pad, 128) float32 table gradient.
     """
     g_ = geom
-    n, dg, h, tiles_x, lanes = tab_shape
-    acc = jnp.zeros((n, dg, h, g_.tiles_x_pad, lanes), jnp.float32)
+    n, dg, h, tiles_x_pad, lanes = tab_shape
+    assert tiles_x_pad == g_.tiles_x_pad
+    acc = jnp.zeros((n, dg, h, tiles_x_pad, lanes), jnp.float32)
     for by in range(g_.By):
         sy = int(g_.start_y[by])
         for bx in range(g_.Bx):
             sx = int(g_.start_tx[bx])
             acc = acc.at[:, :, sy:sy + g_.span_y,
                          sx:sx + g_.span_tx, :].add(wg[:, by, bx])
-    return acc[:, :, :, :tiles_x, :]
+    return acc
 
 
-def outlier_patch_bwd(geom, grads, tab, rows, oxm, inw, doutb, wexp,
+def _decode_points(geom, cp):
+    """Flat banded (dg, n, By, Bx, K, NC) outlier index -> coordinates.
+
+    The outlier mask lives in banded layout (see `inwindow_mask`), so
+    the compacted indices decode band-first. Returns dict with img, y,
+    x, g, k (int32 vectors) plus the flat pixel*group index `t1` used
+    to address the NHWC offset/mask fields.
+    """
+    g_ = geom
+    t, pc = jnp.divmod(cp, g_.NC)
+    t, k_e = jnp.divmod(t, g_.K)
+    t, bx_e = jnp.divmod(t, g_.Bx)
+    t, by_e = jnp.divmod(t, g_.By)
+    g_e, img_e = jnp.divmod(t, g_.n)
+    y_e = by_e * g_.r + pc // g_.bw
+    x_e = bx_e * g_.bw + pc % g_.bw
+    t1 = (img_e * g_.out_h + y_e) * g_.out_w * g_.dg + x_e * g_.dg + g_e
+    return dict(img=img_e, y=y_e, x=x_e, g=g_e, k=k_e, t1=t1)
+
+
+def outlier_patch_bwd(geom, grads, tab, off, msk, inw, doutp, wexp,
                       etype, cap):
     """Backward counterpart of `outlier_patch`.
 
     Adds the (rare) out-of-window points' contributions to the table
-    gradient (flat scatter — exact), the packed offset/mask gradient,
+    gradient (flat scatter — exact), the NHWC offset/mask gradients,
     and the weight gradient, with the same rank-windowed while_loop
     (one patch graph, exact for any outlier count).
 
     Args:
-        grads: (dtab_flat (nrows, 128) f32, d_oxm f32, dwexp f32).
-        doutb: (n, By, Bx, NC, cout) float32 banded cotangent.
+        grads: (dtab_flat (nrows, 128) f32, d_off f32 NHWC, d_msk f32
+            NHWC, dwexp f32).
+        off, msk: (n, out_h, out_w, dg*2K) / (n, out_h, out_w, dg*K)
+            float32 NHWC fields.
+        inw: (dg, n, By, Bx, K, NC) float32 in-window indicator
+            (second `band_forward` output).
+        doutp: (n, Hp, Wp, cout) float32 band-padded NHWC cotangent.
     Returns:
-        patched (dtab_flat, d_oxm, dwexp).
+        patched (dtab_flat, d_off, d_msk, dwexp).
     """
     g_ = geom
-    P = g_.out_h * g_.out_w
-    M = g_.n * P
-    T = g_.dg * g_.K
     K = g_.K
     PX = g_.SX + 1
-    flat_mask = ~inw.reshape(T * M)
+    Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
+    Mtot = inw.size
+    flat_mask = inw.reshape(Mtot) < 0.5
     n_out = jnp.sum(flat_mask)
-    rows_flat = rows.reshape(T * M)
-    oxm_flat = oxm.reshape(-1)
-    dout_flat = doutb.reshape(-1, g_.cout)     # banded point order
-    pos_y, pos_x = _pos_grids(g_)
+    off_flat = off.reshape(-1)
+    msk_flat = msk.reshape(-1)
+    dout_flat = doutp.reshape(-1, g_.cout)     # padded NHWC pixels
     slot_r = jnp.arange(2, dtype=jnp.int32)[None, :, None]
     slot_p = jnp.arange(PX, dtype=jnp.int32)[None, None, :]
     nrows = grads[0].shape[0]
 
     def body(carry):
-        (dtab, d_oxm, dwexp), it = carry
+        (dtab, d_off, d_msk, dwexp), it = carry
         rank = jnp.cumsum(flat_mask) - 1
         sel = (flat_mask & (rank >= it * cap) & (rank < (it + 1) * cap))
-        pos = jnp.nonzero(sel, size=cap, fill_value=T * M)[0]
-        valid = pos < T * M
-        cp = jnp.clip(pos, 0, T * M - 1)
-        s_e = cp // M
-        pt_e = cp % M
-        g_e = s_e // K
-        k_e = s_e % K
-        img_e = pt_e // P
-        y_e = (pt_e % P) // g_.out_w
-        x_e = pt_e % g_.out_w
-        by_e = y_e // g_.r
-        bx_e = x_e // g_.bw
-        pc_e = (y_e % g_.r) * g_.bw + (x_e % g_.bw)
-        bpt = (((img_e * g_.By + by_e) * g_.Bx + bx_e) * g_.NC + pc_e)
+        pos = jnp.nonzero(sel, size=cap, fill_value=Mtot)[0]
+        valid = pos < Mtot
+        cp = jnp.clip(pos, 0, Mtot - 1)
+        d = _decode_points(g_, cp)
+        img_e, y_e, x_e, g_e, k_e = (d['img'], d['y'], d['x'], d['g'],
+                                     d['k'])
+        s_e = g_e * K + k_e
 
-        def ox_at(c_e):
-            idx = (((((g_e * g_.n + img_e) * g_.By + by_e) * g_.Bx
-                     + bx_e) * (3 * K) + c_e) * g_.NC + pc_e)
-            return oxm_flat[idx]
-
-        dy_e = ox_at(2 * k_e)
-        dx_e = ox_at(2 * k_e + 1)
-        m_e = ox_at(2 * K + k_e)
+        dy_e = off_flat[d['t1'] * 2 * K + 2 * k_e]
+        dx_e = off_flat[d['t1'] * 2 * K + 2 * k_e + 1]
+        m_e = msk_flat[d['t1'] * K + k_e]
         i_e = (k_e // g_.kw).astype(jnp.float32) * g_.dilation
         j_e = (k_e % g_.kw).astype(jnp.float32) * g_.dilation
+        pos_y_e = (y_e * g_.stride - g_.padding).astype(jnp.float32)
+        pos_x_e = (x_e * g_.stride - g_.padding).astype(jnp.float32)
         pc = point_coeffs(g_, dy_e + i_e, dx_e + j_e, m_e,
-                          pos_y[pt_e % P], pos_x[pt_e % P])
+                          pos_y_e, pos_x_e)
+        rows_e = ((img_e * g_.dg + g_e) * (g_.h * g_.tiles_x_pad) +
+                  pc['ty'] * g_.tiles_x_pad + pc['tx'])
         wy_sel = jnp.where(
             slot_r == pc['ry0'][:, None, None], pc['wy0'][:, None, None],
             jnp.where(slot_r == pc['ry0'][:, None, None] + 1,
@@ -857,9 +846,9 @@ def outlier_patch_bwd(geom, grads, tab, rows, oxm, inw, doutb, wexp,
         cf = jnp.repeat((wy_sel * wx_sel).reshape(cap, -1),
                         g_.c_per, axis=1)                # (cap, 128)
 
-        dout_e = (dout_flat[bpt] *
+        dout_e = (dout_flat[(img_e * Hp + y_e) * Wp + x_e] *
                   valid[:, None].astype(jnp.float32))    # (cap, cout)
-        G = jnp.take(tab, rows_flat[cp], axis=0).astype(jnp.float32)
+        G = jnp.take(tab, rows_e, axis=0).astype(jnp.float32)
         # per-stream weights via masked matmuls (as the forward patch)
         dpiece = jnp.zeros((cap, 128), jnp.float32)
         for g in range(g_.dg):
@@ -877,7 +866,7 @@ def outlier_patch_bwd(geom, grads, tab, rows, oxm, inw, doutb, wexp,
 
         # table gradient: exact scatter of the compacted rows
         dG = dpiece * cf
-        fb = jnp.where(valid, rows_flat[cp], nrows)
+        fb = jnp.where(valid, rows_e, nrows)
         dtab = jnp.concatenate(
             [dtab, jnp.zeros((1, dtab.shape[1]), dtab.dtype)]
         ).at[fb].add(dG)[:nrows]
@@ -897,30 +886,33 @@ def outlier_patch_bwd(geom, grads, tab, rows, oxm, inw, doutb, wexp,
         d_dx = -dwx0 * pc['vx0'] + dwx1 * pc['vx1']
         d_m = (dwy0 * (1 - pc['fy']) * pc['vy0'] +
                dwy1 * pc['fy'] * pc['vy1'])
-        dox_size = d_oxm.size
-        d_oxm_f = d_oxm.reshape(-1)
-        for c_e, val in ((2 * k_e, d_dy), (2 * k_e + 1, d_dx),
-                         (2 * K + k_e, d_m)):
-            idx = (((((g_e * g_.n + img_e) * g_.By + by_e) * g_.Bx
-                     + bx_e) * (3 * K) + c_e) * g_.NC + pc_e)
-            idx = jnp.where(valid, idx, dox_size)
-            d_oxm_f = jnp.concatenate(
-                [d_oxm_f, jnp.zeros((1,), d_oxm_f.dtype)]
-            ).at[idx].add(val)[:dox_size]
-        return (dtab, d_oxm_f.reshape(d_oxm.shape), dwexp), it + 1
+        doff_size = d_off.size
+        d_off_f = d_off.reshape(-1)
+        for c_e, val in ((2 * k_e, d_dy), (2 * k_e + 1, d_dx)):
+            idx = jnp.where(valid, d['t1'] * 2 * K + c_e, doff_size)
+            d_off_f = jnp.concatenate(
+                [d_off_f, jnp.zeros((1,), d_off_f.dtype)]
+            ).at[idx].add(val)[:doff_size]
+        dmsk_size = d_msk.size
+        idx = jnp.where(valid, d['t1'] * K + k_e, dmsk_size)
+        d_msk_f = jnp.concatenate(
+            [d_msk.reshape(-1), jnp.zeros((1,), d_msk.dtype)]
+        ).at[idx].add(d_m)[:dmsk_size]
+        return ((dtab, d_off_f.reshape(d_off.shape),
+                 d_msk_f.reshape(d_msk.shape), dwexp), it + 1)
 
     carry, _ = jax.lax.while_loop(
         lambda c: c[1] * cap < n_out, body, (grads, 0))
     return carry
 
 
-def outlier_patch(geom, out_flat, tab, rows, oxm, inw, wexp, etype, cap):
+def outlier_patch(geom, out_flat, tab, off, msk, inw, wexp, etype, cap):
     """Add the contributions of points the banded kernel skipped.
 
     Compacts the out-of-window points across every (group, tap) stream
     with a fixed-capacity nonzero, regathers their table rows with the
     plain row gather, recomputes their bilinear coefficients from the
-    packed offsets, and applies each stream's weights via masked
+    NHWC offsets, and applies each stream's weights via masked
     matmuls, scatter-adding into the flat output. Exact for ANY outlier
     count: points are ranked (cumsum over the outlier mask) and a
     lax.while_loop processes successive rank windows of `cap` points,
@@ -930,24 +922,25 @@ def outlier_patch(geom, out_flat, tab, rows, oxm, inw, wexp, etype, cap):
     and pushed EDVR train-step compiles past 25 minutes).
 
     Args:
-        out_flat: (n*P, cout) float32 kernel output (cropped, flat).
-        rows: (T, n, P) int32 absolute rows (sample_rows_inw).
-        oxm: (dg, n, Hp, 3K, Wp) packed offsets+mask (pack_oxm).
-        inw: (T, n, P) bool from sample_rows_inw.
+        out_flat: (n*Hp*Wp, cout) float32 band-padded NHWC kernel
+            output, flat over pixels.
+        off, msk: (n, out_h, out_w, dg*2K) / (n, out_h, out_w, dg*K)
+            float32 NHWC fields.
+        inw: (dg, n, By, Bx, K, NC) float32 in-window indicator
+            (second `band_forward` output).
     Returns:
-        patched (n*P, cout) float32.
+        patched (n*Hp*Wp, cout) float32.
     """
     g_ = geom
-    P = g_.out_h * g_.out_w
-    M = g_.n * P
-    T = g_.dg * g_.K
     K = g_.K
     cout = g_.cout
-    flat_mask = ~inw.reshape(T * M)
+    Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
+    Mpad = g_.n * Hp * Wp
+    Mtot = inw.size
+    flat_mask = inw.reshape(Mtot) < 0.5
     n_out = jnp.sum(flat_mask)
-    rows_flat = rows.reshape(T * M)
-    oxm_flat = oxm.reshape(-1)
-    pos_y, pos_x = _pos_grids(g_)
+    off_flat = off.reshape(-1)
+    msk_flat = msk.reshape(-1)
     slot_r = jnp.arange(2, dtype=jnp.int32)[None, :, None]
     slot_p = jnp.arange(g_.SX + 1, dtype=jnp.int32)[None, None, :]
 
@@ -957,32 +950,25 @@ def outlier_patch(geom, out_flat, tab, rows, oxm, inw, wexp, etype, cap):
         # no-outlier call never pays the cumsum/nonzero scans
         rank = jnp.cumsum(flat_mask) - 1      # rank among outliers
         sel = (flat_mask & (rank >= i * cap) & (rank < (i + 1) * cap))
-        pos = jnp.nonzero(sel, size=cap, fill_value=T * M)[0]
-        valid = pos < T * M
-        cp = jnp.clip(pos, 0, T * M - 1)
-        s_e = cp // M
-        pt_e = cp % M
-        g_e = s_e // K
-        k_e = s_e % K
-        img_e = pt_e // P
-        y_e = (pt_e % P) // g_.out_w
-        x_e = pt_e % g_.out_w
-        by_e = y_e // g_.r
-        bx_e = x_e // g_.bw
-        pc_e = (y_e % g_.r) * g_.bw + (x_e % g_.bw)
+        pos = jnp.nonzero(sel, size=cap, fill_value=Mtot)[0]
+        valid = pos < Mtot
+        cp = jnp.clip(pos, 0, Mtot - 1)
+        d = _decode_points(g_, cp)
+        img_e, y_e, x_e, g_e, k_e = (d['img'], d['y'], d['x'], d['g'],
+                                     d['k'])
+        s_e = g_e * K + k_e
 
-        def ox_at(c_e):
-            idx = (((((g_e * g_.n + img_e) * g_.By + by_e) * g_.Bx
-                     + bx_e) * (3 * K) + c_e) * g_.NC + pc_e)
-            return oxm_flat[idx]
-
-        dy_e = ox_at(2 * k_e)
-        dx_e = ox_at(2 * k_e + 1)
-        m_e = ox_at(2 * K + k_e)
+        dy_e = off_flat[d['t1'] * 2 * K + 2 * k_e]
+        dx_e = off_flat[d['t1'] * 2 * K + 2 * k_e + 1]
+        m_e = msk_flat[d['t1'] * K + k_e]
         i_e = (k_e // g_.kw).astype(jnp.float32) * g_.dilation
         j_e = (k_e % g_.kw).astype(jnp.float32) * g_.dilation
+        pos_y_e = (y_e * g_.stride - g_.padding).astype(jnp.float32)
+        pos_x_e = (x_e * g_.stride - g_.padding).astype(jnp.float32)
         pc = point_coeffs(g_, dy_e + i_e, dx_e + j_e, m_e,
-                          pos_y[pt_e % P], pos_x[pt_e % P])
+                          pos_y_e, pos_x_e)
+        rows_e = ((img_e * g_.dg + g_e) * (g_.h * g_.tiles_x_pad) +
+                  pc['ty'] * g_.tiles_x_pad + pc['tx'])
         cslot = (jnp.where(slot_r == pc['ry0'][:, None, None],
                            pc['wy0'][:, None, None],
                            jnp.where(slot_r == pc['ry0'][:, None, None] + 1,
@@ -992,7 +978,7 @@ def outlier_patch(geom, out_flat, tab, rows, oxm, inw, wexp, etype, cap):
                            jnp.where(slot_p == pc['px0'][:, None, None] + 1,
                                      pc['wx1'][:, None, None], 0.0)))
         cf = jnp.repeat(cslot.reshape(cap, -1), g_.c_per, axis=1)
-        G = jnp.take(tab, rows_flat[cp], axis=0).astype(etype)
+        G = jnp.take(tab, rows_e, axis=0).astype(etype)
         blend = G * cf.astype(etype) * valid[:, None].astype(etype)
         contrib = jnp.zeros((cap, cout), jnp.float32)
         for g in range(g_.dg):
@@ -1002,11 +988,11 @@ def outlier_patch(geom, out_flat, tab, rows, oxm, inw, wexp, etype, cap):
                 contrib = contrib + jnp.dot(
                     blend * bmask[:, None], wexp[k, g],
                     preferred_element_type=jnp.float32)
-        fb = jnp.where(valid, pt_e, M)
+        fb = jnp.where(valid, (img_e * Hp + y_e) * Wp + x_e, Mpad)
         return out_pad.at[fb].add(contrib), i + 1
 
     out_pad = jnp.concatenate(
         [out_flat, jnp.zeros((1, cout), out_flat.dtype)])
     out_pad, _ = jax.lax.while_loop(
         lambda c: c[1] * cap < n_out, body, (out_pad, 0))
-    return out_pad[:M]
+    return out_pad[:Mpad]

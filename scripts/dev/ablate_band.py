@@ -249,8 +249,22 @@ def main():
     dy = rng.uniform(-2, 2, (n, dg, K, h * w)).astype(np.float32)
     dx = rng.uniform(-2, 2, (n, dg, K, h * w)).astype(np.float32)
     msk = rng.rand(n, dg, K, h * w).astype(np.float32)
-    oxm = dcn_band.pack_oxm(g, jnp.asarray(dy), jnp.asarray(dx),
-                            jnp.asarray(msk))
+    # local oxm pack (the library moved to split banded off/msk fields;
+    # the variant kernels here still use the combined 3K layout)
+    def pack(g_, dy_, dx_, msk_):
+        n_, dg_, K_, P_ = dy_.shape
+        off_ = np.stack([dy_, dx_], axis=3).reshape(n_, dg_, 2 * K_, P_)
+        oxm_ = np.concatenate([off_, msk_], axis=2)
+        oxm_ = oxm_.reshape(n_, dg_, 3 * K_, g_.out_h, g_.out_w)
+        Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
+        if Hp != g_.out_h or Wp != g_.out_w:
+            oxm_ = np.pad(oxm_, ((0, 0), (0, 0), (0, 0),
+                                 (0, Hp - g_.out_h), (0, Wp - g_.out_w)))
+        oxm_ = oxm_.reshape(n_, dg_, 3 * K_, g_.By, g_.r, g_.Bx, g_.bw)
+        return jnp.asarray(oxm_.transpose(1, 0, 3, 5, 2, 4, 6).reshape(
+            dg_, n_, g_.By, g_.Bx, 3 * K_, g_.NC))
+
+    oxm = pack(g, dy, dx, msk)
     wexp = jnp.asarray(rng.randn(K, dg, 128, cout)
                        .astype(np.float32)).astype(jnp.bfloat16)
 
