@@ -761,10 +761,9 @@ def fold_windows(geom, wg, tab_shape):
 def _decode_points(geom, cp):
     """Flat banded (dg, n, By, Bx, K, NC) outlier index -> coordinates.
 
-    The outlier mask lives in banded layout (see `inwindow_mask`), so
-    the compacted indices decode band-first. Returns dict with img, y,
-    x, g, k (int32 vectors) plus the flat pixel*group index `t1` used
-    to address the NHWC offset/mask fields.
+    The outlier mask lives in banded layout (the forward kernel's
+    second output), so the compacted indices decode band-first.
+    Returns dict with img, y, x, g, k (int32 vectors).
     """
     g_ = geom
     t, pc = jnp.divmod(cp, g_.NC)
@@ -774,8 +773,7 @@ def _decode_points(geom, cp):
     g_e, img_e = jnp.divmod(t, g_.n)
     y_e = by_e * g_.r + pc // g_.bw
     x_e = bx_e * g_.bw + pc % g_.bw
-    t1 = (img_e * g_.out_h + y_e) * g_.out_w * g_.dg + x_e * g_.dg + g_e
-    return dict(img=img_e, y=y_e, x=x_e, g=g_e, k=k_e, t1=t1)
+    return dict(img=img_e, y=y_e, x=x_e, g=g_e, k=k_e)
 
 
 def outlier_patch_bwd(geom, grads, tab, off, msk, inw, doutp, wexp,
@@ -805,12 +803,12 @@ def outlier_patch_bwd(geom, grads, tab, off, msk, inw, doutp, wexp,
     Mtot = inw.size
     flat_mask = inw.reshape(Mtot) < 0.5
     n_out = jnp.sum(flat_mask)
-    off_flat = off.reshape(-1)
-    msk_flat = msk.reshape(-1)
+    # leading-dim merges only (layout-free); see outlier_patch
+    off2 = off.reshape(-1, off.shape[-1])
+    msk2 = msk.reshape(-1, msk.shape[-1])
     dout_flat = doutp.reshape(-1, g_.cout)     # padded NHWC pixels
     slot_r = jnp.arange(2, dtype=jnp.int32)[None, :, None]
     slot_p = jnp.arange(PX, dtype=jnp.int32)[None, None, :]
-    nrows = grads[0].shape[0]
 
     def body(carry):
         (dtab, d_off, d_msk, dwexp), it = carry
@@ -823,10 +821,11 @@ def outlier_patch_bwd(geom, grads, tab, off, msk, inw, doutp, wexp,
         img_e, y_e, x_e, g_e, k_e = (d['img'], d['y'], d['x'], d['g'],
                                      d['k'])
         s_e = g_e * K + k_e
+        pix = (img_e * g_.out_h + y_e) * g_.out_w + x_e
 
-        dy_e = off_flat[d['t1'] * 2 * K + 2 * k_e]
-        dx_e = off_flat[d['t1'] * 2 * K + 2 * k_e + 1]
-        m_e = msk_flat[d['t1'] * K + k_e]
+        dy_e = off2[pix, g_e * 2 * K + 2 * k_e]
+        dx_e = off2[pix, g_e * 2 * K + 2 * k_e + 1]
+        m_e = msk2[pix, g_e * K + k_e]
         i_e = (k_e // g_.kw).astype(jnp.float32) * g_.dilation
         j_e = (k_e % g_.kw).astype(jnp.float32) * g_.dilation
         pos_y_e = (y_e * g_.stride - g_.padding).astype(jnp.float32)
@@ -864,12 +863,10 @@ def outlier_patch_bwd(geom, grads, tab, off, msk, inw, doutp, wexp,
                     blend_s.T, dout_e,
                     preferred_element_type=jnp.float32))
 
-        # table gradient: exact scatter of the compacted rows
+        # table gradient: exact scatter of the compacted rows (invalid
+        # slots add zero — dpiece carries the `valid` factor)
         dG = dpiece * cf
-        fb = jnp.where(valid, rows_e, nrows)
-        dtab = jnp.concatenate(
-            [dtab, jnp.zeros((1, dtab.shape[1]), dtab.dtype)]
-        ).at[fb].add(dG)[:nrows]
+        dtab = dtab.at[jnp.where(valid, rows_e, 0)].add(dG)
 
         # coordinate/mask gradient chain
         dcslot = (dpiece * G).reshape(cap, -1, g_.c_per).sum(-1)
@@ -886,20 +883,17 @@ def outlier_patch_bwd(geom, grads, tab, off, msk, inw, doutp, wexp,
         d_dx = -dwx0 * pc['vx0'] + dwx1 * pc['vx1']
         d_m = (dwy0 * (1 - pc['fy']) * pc['vy0'] +
                dwy1 * pc['fy'] * pc['vy1'])
-        doff_size = d_off.size
-        d_off_f = d_off.reshape(-1)
+        # NHWC gradient scatters with (row, channel) index pairs into
+        # leading-dim-merged views (free reshapes, no relayout); d_dy /
+        # d_dx / d_m are zero on invalid slots (dout_e carries `valid`)
+        pix_c = jnp.where(valid, pix, 0)
+        d_off2 = d_off.reshape(-1, d_off.shape[-1])
         for c_e, val in ((2 * k_e, d_dy), (2 * k_e + 1, d_dx)):
-            idx = jnp.where(valid, d['t1'] * 2 * K + c_e, doff_size)
-            d_off_f = jnp.concatenate(
-                [d_off_f, jnp.zeros((1,), d_off_f.dtype)]
-            ).at[idx].add(val)[:doff_size]
-        dmsk_size = d_msk.size
-        idx = jnp.where(valid, d['t1'] * K + k_e, dmsk_size)
-        d_msk_f = jnp.concatenate(
-            [d_msk.reshape(-1), jnp.zeros((1,), d_msk.dtype)]
-        ).at[idx].add(d_m)[:dmsk_size]
-        return ((dtab, d_off_f.reshape(d_off.shape),
-                 d_msk_f.reshape(d_msk.shape), dwexp), it + 1)
+            d_off2 = d_off2.at[pix_c, g_e * 2 * K + c_e].add(val)
+        d_msk2 = d_msk.reshape(-1, d_msk.shape[-1])
+        d_msk2 = d_msk2.at[pix_c, g_e * K + k_e].add(d_m)
+        return ((dtab, d_off2.reshape(d_off.shape),
+                 d_msk2.reshape(d_msk.shape), dwexp), it + 1)
 
     carry, _ = jax.lax.while_loop(
         lambda c: c[1] * cap < n_out, body, (grads, 0))
@@ -935,17 +929,19 @@ def outlier_patch(geom, out_flat, tab, off, msk, inw, wexp, etype, cap):
     K = g_.K
     cout = g_.cout
     Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
-    Mpad = g_.n * Hp * Wp
     Mtot = inw.size
     flat_mask = inw.reshape(Mtot) < 0.5
     n_out = jnp.sum(flat_mask)
-    off_flat = off.reshape(-1)
-    msk_flat = msk.reshape(-1)
+    # merge leading dims only (layout-free view) and gather with
+    # (row, channel) index pairs — a full 1-D flatten forces a linear
+    # relayout copy of the whole field (~2 ms at the EDVR-M L1 shape)
+    off2 = off.reshape(-1, off.shape[-1])
+    msk2 = msk.reshape(-1, msk.shape[-1])
     slot_r = jnp.arange(2, dtype=jnp.int32)[None, :, None]
     slot_p = jnp.arange(g_.SX + 1, dtype=jnp.int32)[None, None, :]
 
     def body(carry):
-        out_pad, i = carry
+        out_flat2, i = carry
         # rank-window compaction lives INSIDE the body so the common
         # no-outlier call never pays the cumsum/nonzero scans
         rank = jnp.cumsum(flat_mask) - 1      # rank among outliers
@@ -957,10 +953,11 @@ def outlier_patch(geom, out_flat, tab, off, msk, inw, wexp, etype, cap):
         img_e, y_e, x_e, g_e, k_e = (d['img'], d['y'], d['x'], d['g'],
                                      d['k'])
         s_e = g_e * K + k_e
+        pix = (img_e * g_.out_h + y_e) * g_.out_w + x_e
 
-        dy_e = off_flat[d['t1'] * 2 * K + 2 * k_e]
-        dx_e = off_flat[d['t1'] * 2 * K + 2 * k_e + 1]
-        m_e = msk_flat[d['t1'] * K + k_e]
+        dy_e = off2[pix, g_e * 2 * K + 2 * k_e]
+        dx_e = off2[pix, g_e * 2 * K + 2 * k_e + 1]
+        m_e = msk2[pix, g_e * K + k_e]
         i_e = (k_e // g_.kw).astype(jnp.float32) * g_.dilation
         j_e = (k_e % g_.kw).astype(jnp.float32) * g_.dilation
         pos_y_e = (y_e * g_.stride - g_.padding).astype(jnp.float32)
@@ -988,11 +985,12 @@ def outlier_patch(geom, out_flat, tab, off, msk, inw, wexp, etype, cap):
                 contrib = contrib + jnp.dot(
                     blend * bmask[:, None], wexp[k, g],
                     preferred_element_type=jnp.float32)
-        fb = jnp.where(valid, (img_e * Hp + y_e) * Wp + x_e, Mpad)
-        return out_pad.at[fb].add(contrib), i + 1
+        # invalid slots scatter a zero contribution (blend carries the
+        # `valid` factor) at index 0 — no sentinel-row concat/slice,
+        # which copied the full output twice even with zero outliers
+        fb = jnp.where(valid, (img_e * Hp + y_e) * Wp + x_e, 0)
+        return out_flat2.at[fb].add(contrib), i + 1
 
-    out_pad = jnp.concatenate(
-        [out_flat, jnp.zeros((1, cout), out_flat.dtype)])
-    out_pad, _ = jax.lax.while_loop(
-        lambda c: c[1] * cap < n_out, body, (out_pad, 0))
-    return out_pad[:Mpad]
+    out_flat, _ = jax.lax.while_loop(
+        lambda c: c[1] * cap < n_out, body, (out_flat, 0))
+    return out_flat
