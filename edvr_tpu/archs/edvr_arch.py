@@ -11,17 +11,27 @@ PredeblurModule (:217-269); EDVR top (:272-420).
 
 TPU-first differences from the reference's execution plan:
 * the per-frame Python loop over PCD (edvr_arch.py:397-403) becomes
-  ``nn.vmap`` over the frame axis — one traced PCD, batched execution;
+  one big-batch PCD trace with frames folded into the batch dim —
+  better XLA/MXU utilization than a vmapped per-frame body;
 * frames fold into the batch dim for feature extraction exactly like
   the reference (edvr_arch.py:376) but stay folded as one big conv
   batch for the MXU;
-* all convs NHWC with explicit torch-style padding.
+* all convs NHWC with explicit torch-style padding;
+* the model is split into ``extract_pyramid`` / ``restore_windows``
+  stages so whole-clip evaluation can compute each frame's feature
+  pyramid ONCE and share it across the sliding windows (the reference
+  recomputes it per window, edvr_arch.py:376-388 — a 5x redundancy);
+  see :func:`make_clip_restore_fn`.
 """
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from edvr_tpu.archs.arch_util import (Conv2d, DCNv2Pack, ResidualBlockNoBN,
                                       lrelu, make_layer)
@@ -195,6 +205,15 @@ class EDVR(nn.Module):
 
     Input: (b, t, h, w, c) LQ frames; output: (b, 4h, 4w, c) (x4 only,
     like the reference).
+
+    The forward is decomposed into stage methods so clip-mode
+    evaluation can reuse per-frame work across sliding windows:
+
+    * ``extract_pyramid(xf)``  — (n,h,w,c) frames -> L1/L2/L3 features;
+    * ``restore_windows(pyr, clip, idx)`` — gather window features from
+      a precomputed clip pyramid, PCD-align, TSA-fuse, reconstruct;
+    * ``__call__`` — the reference-equivalent single-window forward,
+      composed from the same stages.
     """
     num_in_ch: int = 3
     num_out_ch: int = 3
@@ -211,10 +230,115 @@ class EDVR(nn.Module):
     # for activation memory on the large (128ch/40-block) variants
     remat: bool = False
 
-    @nn.compact
+    def setup(self):
+        nf = self.num_feat
+        center = self._center
+        block_cls = nn.remat(ResidualBlockNoBN) if self.remat else \
+            ResidualBlockNoBN
+        if self.with_predeblur:
+            self.predeblur = PredeblurModule(num_feat=nf, hr_in=self.hr_in)
+            self.conv_1x1 = Conv2d(nf, 1, padding=0)
+        else:
+            self.conv_first = Conv2d(nf, 3, padding=1)
+        self.feature_extraction = make_layer(
+            block_cls, self.num_extract_block, num_feat=nf)
+        self.conv_l2_1 = Conv2d(nf, 3, stride=2, padding=1)
+        self.conv_l2_2 = Conv2d(nf, 3, padding=1)
+        self.conv_l3_1 = Conv2d(nf, 3, stride=2, padding=1)
+        self.conv_l3_2 = Conv2d(nf, 3, padding=1)
+        self.pcd_align = PCDAlignment(
+            num_feat=nf, deformable_groups=self.deformable_groups)
+        if self.with_tsa:
+            self.fusion = TSAFusion(num_feat=nf, num_frame=self.num_frame,
+                                    center_frame_idx=center)
+        else:
+            self.fusion = Conv2d(nf, 1, padding=0)
+        self.reconstruction = make_layer(
+            block_cls, self.num_reconstruct_block, num_feat=nf)
+        self.upconv1 = Conv2d(nf * 4, 3, padding=1)
+        self.upconv2 = Conv2d(64 * 4, 3, padding=1)
+        self.conv_hr = Conv2d(64, 3, padding=1)
+        self.conv_last = Conv2d(3, 3, padding=1)
+
+    @property
+    def _center(self):
+        return (self.num_frame // 2 if self.center_frame_idx is None else
+                self.center_frame_idx)
+
+    # ------------------------------------------------------------------ #
+    # stages
+    def extract_pyramid(self, xf):
+        """Per-frame L1/L2/L3 feature pyramid
+        (reference: edvr_arch.py:376-388).
+
+        xf: (n, h, w, c) frames (any batch folding). Returns a tuple of
+        (n, h, w, nf), (n, h/2, w/2, nf), (n, h/4, w/4, nf); with
+        ``hr_in`` the L1 resolution is h/4 x w/4.
+        """
+        if self.with_predeblur:
+            feat_l1 = self.conv_1x1(self.predeblur(xf))
+        else:
+            feat_l1 = lrelu(self.conv_first(xf))
+        feat_l1 = self.feature_extraction(feat_l1)
+        feat_l2 = lrelu(self.conv_l2_1(feat_l1))
+        feat_l2 = lrelu(self.conv_l2_2(feat_l2))
+        feat_l3 = lrelu(self.conv_l3_1(feat_l2))
+        feat_l3 = lrelu(self.conv_l3_2(feat_l3))
+        return feat_l1, feat_l2, feat_l3
+
+    def fuse_reconstruct(self, aligned_feat, x_center):
+        """TSA/1x1 fusion + reconstruction trunk + upsampling tail
+        (reference: edvr_arch.py:405-419).
+
+        aligned_feat: (b, t, h, w, nf); x_center: (b, H, W, c) LQ center
+        frame (HR frame when ``hr_in``).
+        """
+        b, t, h, w, nf = aligned_feat.shape
+        if self.with_tsa:
+            feat = self.fusion(aligned_feat)
+        else:
+            # frame-major channel stacking (reference: edvr_arch.py:406)
+            flat = aligned_feat.transpose(0, 2, 3, 1, 4).reshape(
+                b, h, w, t * nf)
+            feat = self.fusion(flat)
+
+        out = self.reconstruction(feat)
+        out = lrelu(pixel_shuffle(self.upconv1(out), 2))
+        out = lrelu(pixel_shuffle(self.upconv2(out), 2))
+        out = lrelu(self.conv_hr(out))
+        out = self.conv_last(out)
+        if self.hr_in:
+            base = x_center
+        else:
+            base = interpolate(x_center, scale_factor=4, mode='bilinear',
+                               align_corners=False)
+        return out + base
+
+    def restore_windows(self, pyr, clip, idx):
+        """Restore a batch of output frames from a precomputed clip
+        pyramid (clip-mode evaluation; the per-window path recomputes
+        this pyramid 5x, reference: edvr_arch.py:376-388).
+
+        pyr: tuple of clip pyramids (T, ..., nf); clip: (T, h, w, c) LQ
+        frames; idx: (B, t) int32 window indices (from
+        ``generate_frame_indices``; position t//2 is the output frame).
+        Returns (B, 4h, 4w, c) restored frames.
+        """
+        B, t = idx.shape
+        center = self._center
+        flat_idx = idx.reshape(-1)
+        ref_idx = jnp.repeat(idx[:, center], t)
+        nbr_flat = tuple(jnp.take(f, flat_idx, axis=0) for f in pyr)
+        ref_flat = tuple(jnp.take(f, ref_idx, axis=0) for f in pyr)
+        aligned = self.pcd_align(nbr_flat, ref_flat)
+        h, w, nf = aligned.shape[1:]
+        aligned = aligned.reshape(B, t, h, w, nf)
+        x_center = jnp.take(clip, idx[:, center], axis=0)
+        return self.fuse_reconstruct(aligned, x_center)
+
+    # ------------------------------------------------------------------ #
     def __call__(self, x):
-        center = (self.num_frame // 2 if self.center_frame_idx is None else
-                  self.center_frame_idx)
+        center = self._center
         b, t, h, w, c = x.shape
         if self.hr_in:
             assert h % 16 == 0 and w % 16 == 0, (
@@ -229,25 +353,9 @@ class EDVR(nn.Module):
         # per-frame feature extraction with frames folded into batch
         # (reference: edvr_arch.py:371-384)
         xf = x.reshape(b * t, h, w, c)
-        if self.with_predeblur:
-            feat_l1 = PredeblurModule(num_feat=nf, hr_in=self.hr_in,
-                                      name='predeblur')(xf)
-            feat_l1 = Conv2d(nf, 1, padding=0, name='conv_1x1')(feat_l1)
-            if self.hr_in:
-                h, w = h // 4, w // 4
-        else:
-            feat_l1 = lrelu(Conv2d(nf, 3, padding=1, name='conv_first')(xf))
-
-        block_cls = nn.remat(ResidualBlockNoBN) if self.remat else \
-            ResidualBlockNoBN
-        feat_l1 = make_layer(block_cls, self.num_extract_block,
-                             name='feature_extraction', num_feat=nf)(feat_l1)
-        feat_l2 = lrelu(Conv2d(nf, 3, stride=2, padding=1,
-                               name='conv_l2_1')(feat_l1))
-        feat_l2 = lrelu(Conv2d(nf, 3, padding=1, name='conv_l2_2')(feat_l2))
-        feat_l3 = lrelu(Conv2d(nf, 3, stride=2, padding=1,
-                               name='conv_l3_1')(feat_l2))
-        feat_l3 = lrelu(Conv2d(nf, 3, padding=1, name='conv_l3_2')(feat_l3))
+        feat_l1, feat_l2, feat_l3 = self.extract_pyramid(xf)
+        if self.hr_in:
+            h, w = h // 4, w // 4
 
         feat_l1 = feat_l1.reshape(b, t, h, w, nf)
         feat_l2 = feat_l2.reshape(b, t, h // 2, w // 2, nf)
@@ -268,32 +376,57 @@ class EDVR(nn.Module):
         ref_flat = tuple(
             jnp.repeat(f[:, None], t, axis=1).reshape(b * t, *f.shape[1:])
             for f in ref_feat_l)
-        pcd = PCDAlignment(num_feat=nf,
-                           deformable_groups=self.deformable_groups,
-                           name='pcd_align')
-        aligned_feat = pcd(nbr_flat, ref_flat).reshape(b, t, h, w, nf)
+        aligned_feat = self.pcd_align(nbr_flat, ref_flat).reshape(
+            b, t, h, w, nf)
 
-        if self.with_tsa:
-            feat = TSAFusion(num_feat=nf, num_frame=self.num_frame,
-                             center_frame_idx=center,
-                             name='fusion')(aligned_feat)
-        else:
-            # frame-major channel stacking (reference: edvr_arch.py:406)
-            flat = aligned_feat.transpose(0, 2, 3, 1, 4).reshape(
-                b, h, w, t * nf)
-            feat = Conv2d(nf, 1, padding=0, name='fusion')(flat)
+        return self.fuse_reconstruct(aligned_feat, x_center)
 
-        out = make_layer(block_cls, self.num_reconstruct_block,
-                         name='reconstruction', num_feat=nf)(feat)
-        out = lrelu(pixel_shuffle(
-            Conv2d(nf * 4, 3, padding=1, name='upconv1')(out), 2))
-        out = lrelu(pixel_shuffle(
-            Conv2d(64 * 4, 3, padding=1, name='upconv2')(out), 2))
-        out = lrelu(Conv2d(64, 3, padding=1, name='conv_hr')(out))
-        out = Conv2d(3, 3, padding=1, name='conv_last')(out)
-        if self.hr_in:
-            base = x_center
-        else:
-            base = interpolate(x_center, scale_factor=4, mode='bilinear',
-                               align_corners=False)
-        return out + base
+
+def clip_window_indices(num_frames_clip: int, num_frame: int,
+                        padding: str = 'reflection_circle') -> np.ndarray:
+    """(T, t) sliding-window index table for whole-clip evaluation,
+    matching the per-frame windows the reference's VideoTestDataset
+    builds (reference: video_test_dataset.py:44-147 via
+    data_util.py:35-88)."""
+    from edvr_tpu.data.data_util import generate_frame_indices
+    return np.asarray([
+        generate_frame_indices(i, num_frames_clip, num_frame, padding)
+        for i in range(num_frames_clip)
+    ], dtype=np.int32)
+
+
+def make_clip_restore_fn(model: EDVR, win_batch: int = 4):
+    """Jitted whole-clip EDVR evaluation.
+
+    Returns ``fn(params, clip, idx) -> (T, 4h, 4w, c)`` where clip is
+    (T, h, w, c) and idx is the (T, t) int32 window table from
+    :func:`clip_window_indices`. The clip's L1/L2/L3 feature pyramid is
+    computed ONCE (the reference's per-window protocol recomputes each
+    frame's pyramid num_frame times, edvr_arch.py:376-388), then windows
+    are restored ``win_batch`` at a time under one ``lax.scan`` — one
+    device dispatch for the whole clip, with the window batch sized for
+    MXU/DCN-kernel utilization.
+    """
+
+    @functools.partial(jax.jit, static_argnums=())
+    def fn(params, clip, idx):
+        T = clip.shape[0]
+        pyr = model.apply(params, clip, method=EDVR.extract_pyramid)
+
+        n_steps = -(-T // win_batch)
+        pad = n_steps * win_batch - T
+        # pad with copies of the last window; sliced off after the scan
+        idx_pad = jnp.concatenate(
+            [idx, jnp.tile(idx[-1:], (pad, 1))], axis=0) if pad else idx
+        idx_steps = idx_pad.reshape(n_steps, win_batch, -1)
+
+        def body(_, idx_b):
+            out = model.apply(params, pyr, clip, idx_b,
+                              method=EDVR.restore_windows)
+            return _, out
+
+        _, outs = jax.lax.scan(body, None, idx_steps)
+        outs = outs.reshape(n_steps * win_batch, *outs.shape[2:])
+        return outs[:T]
+
+    return fn

@@ -37,30 +37,79 @@ class BaseModel:
         self.schedulers = {}
         self.log_dict = {}
 
-        num_devices = jax.local_device_count()
+        num_local = jax.local_device_count()
         want = opt.get('num_gpu', 1) or 1
-        use = min(num_devices, want) if want > 0 else 1
-        self.mesh = get_data_mesh(jax.local_devices()[:use])
-        self.num_devices = use
+        use = min(num_local, want) if want > 0 else 1
+        self._n_proc = jax.process_count()
+        self._multiprocess = bool(opt.get('dist')) and self._n_proc > 1
+        if self._multiprocess:
+            # multi-host: one global mesh over every process's devices,
+            # so the gradient all-reduce compiled into the train step
+            # spans hosts (the reference's DDP/NCCL equivalent,
+            # basicsr/utils/dist_util.py:10-58)
+            self.mesh = get_data_mesh(jax.devices())
+            self.num_local_devices = num_local
+            self.num_devices = len(jax.devices())
+        else:
+            self.mesh = get_data_mesh(jax.local_devices()[:use])
+            self.num_local_devices = use
+            self.num_devices = use
         self._replicated = replicated_sharding(self.mesh)
         self._batch_sharded = batch_sharding(self.mesh)
+        # validation runs process-strided (uneven item counts across
+        # processes), so eval math must stay process-local: a separate
+        # local mesh keeps test steps free of cross-host collectives
+        local_mesh = (get_data_mesh(jax.local_devices()[:use])
+                      if self._multiprocess else self.mesh)
+        self._local_replicated = replicated_sharding(local_mesh)
+        self._eval_params_cache = {}
 
     # ------------------------------------------------------------------ #
     # device placement
     # ------------------------------------------------------------------ #
     def replicate(self, tree):
+        if self._multiprocess:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self._replicated, np.asarray(x)), tree)
         return jax.device_put(tree, self._replicated)
 
     def shard_batch(self, tree):
         def put(x):
             x = np.asarray(x)
-            if x.ndim > 0 and x.shape[0] % self.num_devices == 0:
+            if x.ndim > 0 and x.shape[0] % self.num_local_devices == 0:
+                if self._multiprocess:
+                    # this process's batch is its shard of the global one
+                    return jax.make_array_from_process_local_data(
+                        self._batch_sharded, x)
                 return jax.device_put(x, self._batch_sharded)
             # validation batches of 1 (reference: data/__init__.py:99-101)
-            # replicate instead of shard
-            return jax.device_put(x, self._replicated)
+            # replicate instead of shard — process-locally, because
+            # validation items are rank-strided
+            return jax.device_put(x, self._local_replicated)
 
         return jax.tree_util.tree_map(put, tree)
+
+    def eval_params(self, params):
+        """Params for process-local eval steps.
+
+        In a multi-host run the training params live on the global mesh;
+        test steps consume process-local inputs, so the (replicated,
+        hence host-complete) params are rehosted onto the local mesh —
+        once per validation pass (cached by identity).
+        """
+        if not self._multiprocess:
+            return params
+        key = id(params)
+        hit = self._eval_params_cache.get(key)
+        if hit is None or hit[0] is not params:
+            if len(self._eval_params_cache) > 8:
+                self._eval_params_cache.clear()
+            hit = (params, jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x),
+                                         self._local_replicated), params))
+            self._eval_params_cache[key] = hit
+        return hit[1]
 
     # ------------------------------------------------------------------ #
     # engine API (mirrors reference base_model.py:24-50)

@@ -40,13 +40,6 @@ class EDVRModel(VideoBaseModel):
         if self.is_train:
             self.train_tsa_iter = opt['train'].get('tsa_iter')
 
-    def _sample_input(self):
-        import jax.numpy as jnp
-        t = self.opt['network_g'].get('num_frame', 5)
-        c = self.opt['network_g'].get('num_in_ch', 3)
-        size = 32 if self.opt['network_g'].get('hr_in') else 16
-        return jnp.zeros((1, t, size, size, c), jnp.float32)
-
     def _update_multipliers(self):
         dcn_lr_mul = self.opt['train'].get('dcn_lr_mul', 1)
         get_root_logger().info(

@@ -195,7 +195,8 @@ class SRModel(BaseModel):
         self.log_dict = losses  # device scalars; converted lazily
 
     def test(self):
-        self.output = self._test_step(self.params_g, self.lq)
+        self.output = self._test_step(self.eval_params(self.params_g),
+                                      self.lq)
 
     def get_current_log(self):
         return self.reduce_loss_dict(self.log_dict)

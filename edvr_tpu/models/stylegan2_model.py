@@ -309,8 +309,8 @@ class StyleGAN2Model(BaseModel):
     # ------------------------------------------------------------------ #
     def test(self):
         self._noise_key, sub = jax.random.split(self._noise_key)
-        self.output = self._test_step(self.params_g_ema, self.noises_g,
-                                      self.fixed_sample, sub)
+        self.output = self._test_step(self.eval_params(self.params_g_ema),
+                                      self.noises_g, self.fixed_sample, sub)
 
     def dist_validation(self, dataloader, current_iter, tb_logger,
                         save_img):

@@ -16,13 +16,21 @@ import numpy as np
 
 from edvr_tpu.metrics import calculate_metric
 from edvr_tpu.models.sr_model import SRModel
-from edvr_tpu.parallel.dist_util import get_dist_info
+from edvr_tpu.parallel.dist_util import (get_dist_info,
+                                         process_allreduce_sum)
 from edvr_tpu.utils import get_root_logger, imwrite, tensor2img
 from edvr_tpu.utils.registry import MODEL_REGISTRY
 
 
 @MODEL_REGISTRY.register()
 class VideoBaseModel(SRModel):
+
+    def _sample_input(self):
+        import jax.numpy as jnp
+        t = self.opt['network_g'].get('num_frame', 5)
+        c = self.opt['network_g'].get('num_in_ch', 3)
+        size = 32 if self.opt['network_g'].get('hr_in') else 16
+        return jnp.zeros((1, t, size, size, c), jnp.float32)
 
     def dist_validation(self, dataloader, current_iter, tb_logger,
                         save_img):
@@ -91,12 +99,12 @@ class VideoBaseModel(SRModel):
                                                 metric_idx] += result
 
         if with_metrics:
-            if world_size > 1:  # pragma: no cover - multi-host only
-                from jax.experimental import multihost_utils
-                for folder in self.metric_results:
-                    gathered = multihost_utils.process_allgather(
-                        self.metric_results[folder])
-                    self.metric_results[folder] = gathered.sum(axis=0)
+            # each frame was scored by exactly one process, so a sum
+            # across processes reassembles the full per-frame table
+            # (reference: dist.reduce + barrier, video_base_model.py:109-113)
+            for folder in self.metric_results:
+                self.metric_results[folder] = process_allreduce_sum(
+                    self.metric_results[folder])
             if rank == 0:
                 self._log_validation_metric_values(current_iter,
                                                    dataset_name, tb_logger)

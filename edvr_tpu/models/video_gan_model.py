@@ -12,11 +12,4 @@ from edvr_tpu.utils.registry import MODEL_REGISTRY
 @MODEL_REGISTRY.register()
 class VideoGANModel(SRGANModel, VideoBaseModel):
     """Uses SRGANModel's training and VideoBaseModel's validation via
-    the MRO."""
-
-    def _sample_input(self):
-        import jax.numpy as jnp
-        t = self.opt['network_g'].get('num_frame', 5)
-        c = self.opt['network_g'].get('num_in_ch', 3)
-        size = 32 if self.opt['network_g'].get('hr_in') else 16
-        return jnp.zeros((1, t, size, size, c), jnp.float32)
+    the MRO (the 5-D sample input comes from VideoBaseModel)."""

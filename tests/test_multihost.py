@@ -1,0 +1,151 @@
+"""Multi-host (2-process) execution tests over a localhost coordinator.
+
+Covers the paths the reference exercises with torchrun/NCCL
+(reference: basicsr/utils/dist_util.py:10-58,
+basicsr/models/video_base_model.py:44,109-113): runtime init, host
+sharding, the in-step cross-host gradient all-reduce, rank-strided
+video validation with allreduce metric aggregation, and the fail-loud
+contract for a misconfigured --launcher jax.
+
+Each JAX process runs in a subprocess (tests/helpers/multihost_worker.py)
+with 2 virtual CPU devices, forming a 4-device global mesh.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      'helpers', 'multihost_worker.py')
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(('127.0.0.1', 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_pair(mode, workdir, timeout=420):
+    coord = f'127.0.0.1:{_free_port()}'
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, mode, coord, str(pid), '2',
+             str(workdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env) for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'process {pid} failed:\n{out}'
+        assert 'WORKER_OK' in out, f'process {pid}:\n{out}'
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_training_step_matches_single_process(tmp_path):
+    _spawn_pair('unit', tmp_path)
+
+    blob = np.load(tmp_path / 'mh_params.npz')
+    assert np.isfinite(blob['loss'])
+
+    # single-process reference: same fixed 4-sample global batch
+    from edvr_tpu.models import create_model
+    sys.path.insert(0, os.path.dirname(WORKER))
+    try:
+        from multihost_worker import _sr_opt
+    finally:
+        sys.path.pop(0)
+    import jax
+    model = create_model(_sr_opt(str(tmp_path / 'single')))
+    rng = np.random.RandomState(42)
+    gt = rng.rand(4, 32, 32, 3).astype(np.float32)
+    lq = rng.rand(4, 8, 8, 3).astype(np.float32)
+    model.feed_data({'gt': gt, 'lq': lq})
+    model.optimize_parameters(1)
+    want_loss = model.get_current_log()['l_pix']
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, model.params_g))
+
+    np.testing.assert_allclose(blob['loss'], want_loss, rtol=1e-5)
+    got = [blob[f'arr_{i}'] for i in range(len(leaves))]
+    for i, (g, w) in enumerate(zip(got, leaves)):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6,
+                                   err_msg=f'param leaf {i}')
+
+
+VIDEO_TEST_YML = """
+name: mh_video
+model_type: VideoBaseModel
+scale: 4
+num_gpu: 2
+manual_seed: 0
+datasets:
+  test_1:
+    name: REDS4  # the loader gates on known video test-set names
+    type: VideoTestDataset
+    dataroot_gt: {root}/gt
+    dataroot_lq: {root}/lq
+    io_backend: {{type: disk}}
+    cache_data: false
+    num_frame: 5
+    padding: reflection_circle
+network_g: {{type: EDVR, num_in_ch: 3, num_out_ch: 3, num_feat: 8, num_frame: 5,
+  deformable_groups: 2, num_extract_block: 1, num_reconstruct_block: 1,
+  center_frame_idx: null, hr_in: false, with_predeblur: false, with_tsa: true}}
+path: {{pretrain_network_g: ~, strict_load_g: false}}
+val:
+  save_img: false
+  metrics:
+    psnr: {{type: calculate_psnr, crop_border: 0, test_y_channel: false}}
+"""
+
+
+@pytest.mark.slow
+def test_two_process_video_validation(tmp_path):
+    rng = np.random.RandomState(3)
+    for clip, n in [('000', 5), ('011', 6)]:
+        for sub, size in [('gt', 32), ('lq', 8)]:
+            d = tmp_path / sub / clip
+            d.mkdir(parents=True)
+            for i in range(n):
+                img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+                cv2.imwrite(str(d / f'{i:08d}.png'), img)
+    with open(tmp_path / 'opt.yml', 'w') as f:
+        f.write(VIDEO_TEST_YML.format(root=str(tmp_path)))
+
+    _spawn_pair('video_val', tmp_path)
+
+    table = np.load(tmp_path / 'video_metrics.npy')
+    # 5 frames x 1 metric, every row scored by exactly one process
+    assert table.shape == (5, 1)
+    assert (table > 0).all() and np.isfinite(table).all()
+
+
+def test_launcher_jax_fails_loudly_without_coordinator(tmp_path):
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(WORKER)))
+    code = (
+        f'import sys; sys.path.insert(0, {repo_root!r})\n'
+        'import jax; jax.config.update("jax_platforms", "cpu")\n'
+        'from edvr_tpu.parallel.dist_util import init_dist\n'
+        'try:\n'
+        '    init_dist("jax")\n'
+        'except RuntimeError as e:\n'
+        '    assert "--launcher jax" in str(e), e\n'
+        '    print("FAILED_LOUDLY")\n'
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('COORDINATOR_ADDRESS', 'NUM_PROCESSES',
+                        'PROCESS_ID')}
+    out = subprocess.run(
+        [sys.executable, '-c', code], capture_output=True, text=True,
+        env=env, cwd=repo_root, timeout=120)
+    assert 'FAILED_LOUDLY' in out.stdout, out.stdout + out.stderr
