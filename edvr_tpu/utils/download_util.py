@@ -4,37 +4,37 @@ network availability."""
 
 from __future__ import annotations
 
-import math
+_GDRIVE_URL = 'https://docs.google.com/uc?export=download'
+_CHUNK = 32768
 
 
 def download_file_from_google_drive(file_id: str, save_path: str) -> None:
-    """(reference: download_util.py:8-38)"""
+    """Fetch a public Drive file, following the large-file confirm
+    cookie when Drive inserts one (reference: download_util.py:8-38)."""
     try:
         import requests
     except ImportError as e:
         raise ImportError('download requires the requests package.') from e
 
     session = requests.Session()
-    url = 'https://docs.google.com/uc?export=download'
     params = {'id': file_id}
-    response = session.get(url, params=params, stream=True)
+    response = session.get(_GDRIVE_URL, params=params, stream=True)
     token = get_confirm_token(response)
     if token:
         params['confirm'] = token
-        response = session.get(url, params=params, stream=True)
+        response = session.get(_GDRIVE_URL, params=params, stream=True)
 
-    # get file size
-    response_file_size = session.get(url, params=params, stream=True,
-                                     headers={'Range': 'bytes=0-2'})
-    if 'Content-Range' in response_file_size.headers:
-        file_size = int(
-            response_file_size.headers['Content-Range'].split('/')[1])
-    else:
-        file_size = None
-    save_response_content(response, save_path, file_size)
+    # total size via a ranged probe (the download stream itself carries
+    # no Content-Length for Drive exports)
+    probe = session.get(_GDRIVE_URL, params=params, stream=True,
+                        headers={'Range': 'bytes=0-2'})
+    content_range = probe.headers.get('Content-Range')
+    total = int(content_range.split('/')[1]) if content_range else None
+    save_response_content(response, save_path, total)
 
 
 def get_confirm_token(response):
+    """Drive's 'this file is too large to scan' confirmation cookie."""
     for key, value in response.cookies.items():
         if key.startswith('download_warning'):
             return value
@@ -42,14 +42,14 @@ def get_confirm_token(response):
 
 
 def save_response_content(response, destination, file_size=None,
-                          chunk_size=32768):
+                          chunk_size=_CHUNK):
+    done = 0
     with open(destination, 'wb') as f:
-        downloaded_size = 0
         for chunk in response.iter_content(chunk_size):
-            downloaded_size += chunk_size
+            done += chunk_size
             if file_size is not None:
-                pct = math.floor(downloaded_size / file_size * 100)
-                print(f'\rDownload {pct}%', end='')
+                print(f'\rDownload {int(done / file_size * 100)}%',
+                      end='')
             if chunk:
                 f.write(chunk)
         print('\nDownload finished.')

@@ -1,4 +1,9 @@
-"""LMDB dataset creation (reference: basicsr/utils/lmdb_util.py).
+"""LMDB dataset packaging.
+
+Writes the toolbox's lmdb layout — PNG-encoded values keyed by
+``<clip>/<frame>``-style names plus a ``meta_info.txt`` manifest of
+``<key>.png (h,w,c) <compress_level>`` lines — so datasets built here
+load in either framework (reference: basicsr/utils/lmdb_util.py).
 
 Gated on the optional ``lmdb`` package (not part of this image's baked
 dependencies); datasets can always be used from disk directly.
@@ -6,138 +11,127 @@ dependencies); datasets can always be used from disk directly.
 
 from __future__ import annotations
 
-import sys
 from multiprocessing import Pool
 from os import path as osp
 
 import cv2
 
 
-def make_lmdb_from_imgs(data_path, lmdb_path, img_path_list, keys,
-                        batch=5000, compress_level=1, multiprocessing_read=False,
-                        n_thread=40, map_size=None):
-    """Build an lmdb from images with a meta_info.txt
-    (reference: lmdb_util.py:9-133). Each key maps to the encoded PNG
-    bytes; meta lines are '<key>.png (h,w,c) <compress_level>'."""
+def _require_lmdb():
     try:
         import lmdb
     except ImportError as e:
-        raise ImportError('make_lmdb_from_imgs requires the lmdb package; '
-                          'install lmdb or use the disk backend.') from e
+        raise ImportError('this tool needs the optional lmdb package; '
+                          'install lmdb or stay on the disk backend.') \
+            from e
+    return lmdb
 
-    assert len(img_path_list) == len(keys), (
-        'img_path_list and keys should have the same length, '
-        f'but got {len(img_path_list)} and {len(keys)}')
-    print(f'Create lmdb for {data_path}, save to {lmdb_path}...')
-    print(f'Totoal images: {len(img_path_list)}')
-    if not lmdb_path.endswith('.lmdb'):
-        raise ValueError("lmdb_path must end with '.lmdb'.")
-    if osp.exists(lmdb_path):
-        print(f'Folder {lmdb_path} already exists. Exit.')
-        sys.exit(1)
 
-    dataset = {}
-    shapes = {}
+def _encode_one(path, key, compress_level):
+    """Read one image and PNG-encode it; returns (key, bytes, shape)
+    (reference: lmdb_util.py:136-158)."""
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    shape = (img.shape[0], img.shape[1],
+             1 if img.ndim == 2 else img.shape[2])
+    ok, blob = cv2.imencode('.png', img,
+                            [cv2.IMWRITE_PNG_COMPRESSION, compress_level])
+    assert ok, f'PNG encode failed for {path}'
+    return key, blob, shape
+
+
+# kept under the reference's public name for script compatibility
+read_img_worker = _encode_one
+
+
+def make_lmdb_from_imgs(data_path, lmdb_path, img_path_list, keys,
+                        batch=5000, compress_level=1,
+                        multiprocessing_read=False, n_thread=40,
+                        map_size=None):
+    """Pack a list of images into one .lmdb with its manifest
+    (reference: lmdb_util.py:9-133).
+
+    ``multiprocessing_read`` pre-decodes everything into RAM with
+    ``n_thread`` workers (only sensible when the set fits in memory);
+    ``map_size=None`` sizes the map at 10x a sample encoding.
+    """
+    _require_lmdb()
+    if len(img_path_list) != len(keys):
+        raise ValueError(f'{len(img_path_list)} paths vs {len(keys)} keys')
+
+    print(f'Packing {len(img_path_list)} images from {data_path} '
+          f'into {lmdb_path}...')
+
+    encoded = {}
     if multiprocessing_read:
-        print(f'Read images with multiprocessing, #thread: {n_thread} ...')
-
-        def callback(arg):
-            key, img_byte, img_shape = arg
-            dataset[key] = img_byte
-            shapes[key] = img_shape
-
-        pool = Pool(n_thread)
-        for path, key in zip(img_path_list, keys):
-            pool.apply_async(
-                read_img_worker,
-                args=(osp.join(data_path, path), key, compress_level),
-                callback=callback)
-        pool.close()
-        pool.join()
-        print(f'Finish reading {len(img_path_list)} images.')
+        print(f'Pre-reading with {n_thread} processes...')
+        with Pool(n_thread) as pool:
+            jobs = [
+                pool.apply_async(_encode_one,
+                                 (osp.join(data_path, p), k,
+                                  compress_level))
+                for p, k in zip(img_path_list, keys)
+            ]
+            for job in jobs:
+                key, blob, shape = job.get()
+                encoded[key] = (blob, shape)
+        print(f'Pre-read {len(encoded)} images.')
 
     if map_size is None:
-        img = cv2.imread(osp.join(data_path, img_path_list[0]),
-                         cv2.IMREAD_UNCHANGED)
-        _, img_byte = cv2.imencode(
-            '.png', img, [cv2.IMWRITE_PNG_COMPRESSION, compress_level])
-        data_size_per_img = img_byte.nbytes
-        print('Data size per image is: ', data_size_per_img)
-        map_size = data_size_per_img * len(img_path_list) * 10
+        _, blob, _ = _encode_one(osp.join(data_path, img_path_list[0]),
+                                 keys[0], compress_level)
+        map_size = blob.nbytes * len(img_path_list) * 10
+        print(f'Sized lmdb map at {map_size} bytes '
+              f'({blob.nbytes}/sample x10).')
 
-    env = lmdb.open(lmdb_path, map_size=map_size)
-    txn = env.begin(write=True)
-    txt_file = open(osp.join(lmdb_path, 'meta_info.txt'), 'w')
+    writer = LmdbMaker(lmdb_path, map_size=map_size, batch=batch,
+                       compress_level=compress_level)
     for idx, (path, key) in enumerate(zip(img_path_list, keys)):
         if idx % 100 == 0:
-            print(f'\rWrite {idx} images.', end='')
-        key_byte = key.encode('ascii')
+            print(f'\rWriting image {idx}...', end='')
         if multiprocessing_read:
-            img_byte = dataset[key]
-            h, w, c = shapes[key]
+            blob, shape = encoded[key]
         else:
-            _, img_byte, img_shape = read_img_worker(
-                osp.join(data_path, path), key, compress_level)
-            h, w, c = img_shape
-        txn.put(key_byte, img_byte)
-        txt_file.write(f'{key}.png ({h},{w},{c}) {compress_level}\n')
-        if idx % batch == 0:
-            txn.commit()
-            txn = env.begin(write=True)
-    txn.commit()
-    env.close()
-    txt_file.close()
-    print('\nFinish writing lmdb.')
-
-
-def read_img_worker(path, key, compress_level):
-    """(reference: lmdb_util.py:136-158)"""
-    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-    if img.ndim == 2:
-        h, w = img.shape
-        c = 1
-    else:
-        h, w, c = img.shape
-    _, img_byte = cv2.imencode('.png', img,
-                               [cv2.IMWRITE_PNG_COMPRESSION, compress_level])
-    return (key, img_byte, (h, w, c))
+            _, blob, shape = _encode_one(osp.join(data_path, path), key,
+                                         compress_level)
+        writer.put(blob, key, shape)
+    writer.close()
+    print('\nDone.')
 
 
 class LmdbMaker:
-    """Incremental lmdb writer (reference: lmdb_util.py:161-208)."""
+    """Incremental writer: ``put`` PNG bytes under a key, commit every
+    ``batch`` puts, manifest kept in sync
+    (reference: lmdb_util.py:161-208)."""
 
     def __init__(self, lmdb_path, map_size=1024**4, batch=5000,
                  compress_level=1):
-        try:
-            import lmdb
-        except ImportError as e:
-            raise ImportError('LmdbMaker requires the lmdb package.') from e
+        lmdb = _require_lmdb()
         if not lmdb_path.endswith('.lmdb'):
-            raise ValueError("lmdb_path must end with '.lmdb'.")
+            raise ValueError(f"lmdb_path must end with '.lmdb', got "
+                             f'{lmdb_path}')
         if osp.exists(lmdb_path):
-            print(f'Folder {lmdb_path} already exists. Exit.')
-            sys.exit(1)
+            raise FileExistsError(
+                f'{lmdb_path} already exists; refusing to overwrite.')
 
         self.lmdb_path = lmdb_path
         self.batch = batch
         self.compress_level = compress_level
         self.env = lmdb.open(lmdb_path, map_size=map_size)
         self.txn = self.env.begin(write=True)
-        self.txt_file = open(osp.join(lmdb_path, 'meta_info.txt'), 'w')
-        self.counter = 0
+        self.manifest = open(osp.join(lmdb_path, 'meta_info.txt'), 'w')
+        self.n_written = 0
 
-    def put(self, img_byte, key, img_shape):
-        self.counter += 1
-        key_byte = key.encode('ascii')
-        self.txn.put(key_byte, img_byte)
+    def put(self, img_bytes, key, img_shape):
+        self.n_written += 1
+        self.txn.put(key.encode('ascii'), img_bytes)
         h, w, c = img_shape
-        self.txt_file.write(
-            f'{key}.png ({h},{w},{c}) {self.compress_level}\n')
-        if self.counter % self.batch == 0:
+        self.manifest.write(f'{key}.png ({h},{w},{c}) '
+                            f'{self.compress_level}\n')
+        if self.n_written % self.batch == 0:
             self.txn.commit()
             self.txn = self.env.begin(write=True)
 
     def close(self):
         self.txn.commit()
         self.env.close()
-        self.txt_file.close()
+        self.manifest.close()
