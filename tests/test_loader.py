@@ -50,3 +50,44 @@ def test_loader_with_sampler():
                         drop_last=True)
     batches = list(loader)
     assert len(batches) == 2  # 10 samples for this rank
+
+
+def test_device_prefetcher_queue_stays_full_under_slow_consumer():
+    """The prefetch queue must be back at full depth after every
+    next() when the consumer (train step) is slower than the producer
+    — the property that hides host decode latency behind device
+    compute (reference: the CUDA-stream prefetcher,
+    prefetch_dataloader.py:84-126)."""
+    import time
+
+    from edvr_tpu.data.loader import DataLoader, DevicePrefetcher
+
+    class SlowDataset:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            time.sleep(0.01)  # 10 ms decode
+            return {'idx': np.asarray([i])}
+
+    loader = DataLoader(SlowDataset(), batch_size=2, num_workers=4,
+                        prefetch_batches=4)
+    pf = DevicePrefetcher(loader, put_fn=lambda b: b, depth=2)
+    pf.reset()
+    seen = 0
+    waits = []
+    while True:
+        t0 = time.time()
+        batch = pf.next()
+        waits.append(time.time() - t0)
+        if batch is None:
+            break
+        seen += 1
+        remaining = len(loader) - seen
+        # consumer is 3x slower than a worker batch; queue must be full
+        # again whenever enough batches remain to fill it
+        time.sleep(0.06)
+        assert len(pf._queue) == min(2, remaining), (seen, len(pf._queue))
+    assert seen == len(loader)
+    # past warmup the consumer never waits on the host pipeline
+    assert float(np.median(waits[2:])) < 0.05, waits
