@@ -93,6 +93,23 @@ def test_band_grads_match_gather(seed, big_frac):
                                    err_msg=name)
 
 
+def test_band_matches_gather_at_edvr_l3_geometry():
+    """The EDVR L3 level (45x80, dg=8, 64 feat) is the one PCD shape
+    still below the default MIN_P policy gate; exactness at this
+    geometry (non-multiple-of-band out_h, out_w between bw and 2*bw)
+    must hold so the gate can admit it when measurement says so."""
+    from edvr_tpu.ops import dcn_band
+    case = _case(7, n=1, h=45, w=80, cin=64, cout=64, dg=8,
+                 big_frac=0.01)
+    (ref,) = _run(case, band=False)
+    before = dcn_band.TRACE_COUNTS['fwd']
+    (got,) = _run(case, band=True)
+    assert dcn_band.TRACE_COUNTS['fwd'] > before
+    scale = float(jnp.abs(ref).max()) + 1e-8
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=2e-6)
+
+
 def test_band_gate_excludes_small_problems():
     # without the MIN_P override a 32x64 problem stays on the gather
     # path (no Pallas call on CPU); just probe it doesn't crash
