@@ -37,6 +37,60 @@ def test_dfdnet_forward_shape():
     assert float(jnp.abs(out).max()) <= 1.0  # tanh output
 
 
+@pytest.mark.slow
+def test_dfdnet_full_golden():
+    """End-to-end DFDNet parity vs the reference torch pipeline
+    (VGG extraction, per-part dictionary swap with AdaIN + argmax
+    selection, MS-dilation, SFT decoding), via the spectral-norm-folded
+    converter path (fixture: scripts/dev/gen_golden_dfdnet.py)."""
+    import os.path as osp
+
+    from edvr_tpu.archs.dfdnet_arch import DFDNet
+    from edvr_tpu.convert import convert_state_dict
+    from edvr_tpu.convert.torch_import import fold_spectral_norm
+
+    path = osp.join(osp.dirname(__file__), 'data', 'golden',
+                    'dfdnet_full.npz')
+    data = np.load(path)
+    x = jnp.asarray(np.moveaxis(data['__input__'], 1, -1))
+    ref = np.moveaxis(data['__output__'], 1, -1)
+    locs = [data['__locs__'][i] for i in range(4)]
+    dict_feat = {}
+    state = {}
+    for k in data.files:
+        if k.startswith('dict.'):
+            _, size, part = k.split('.')
+            dict_feat.setdefault(size, {})[part] = jnp.asarray(
+                np.moveaxis(data[k], 1, -1))
+        elif k.startswith('sd.'):
+            state[k[3:]] = data[k]
+
+    # the reference names its embedded VGG layers (conv1_1...); the
+    # flax extractor uses torchvision feature indices (features_{idx})
+    import re
+
+    from edvr_tpu.archs.vgg_arch import NAMES
+    vgg_names = list(NAMES['vgg19'])
+    renamed = {}
+    for k, v in state.items():
+        m = re.match(r'vgg_extractor\.vgg_net\.([^.]+)\.(.*)', k)
+        if m:
+            k = (f'vgg_extractor.features_'
+                 f'{vgg_names.index(m.group(1))}.{m.group(2)}')
+        renamed[k] = v
+    state = renamed
+
+    net = DFDNet(num_feat=64)
+    variables = net.init(jax.random.PRNGKey(0), x, locs, dict_feat)
+    state = fold_spectral_norm(state)
+    converted, unmatched = convert_state_dict(state, variables['params'])
+    # ImageNet mean/std constants are baked into the flax extractor
+    assert all(u.endswith(('.mean', '.std')) for u in unmatched), unmatched
+    out = np.asarray(net.apply({'params': converted}, x, locs, dict_feat))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=3e-4)
+
+
 def test_fold_spectral_norm():
     import torch
 
