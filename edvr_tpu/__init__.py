@@ -14,3 +14,15 @@ registry / metric semantics match the reference toolbox (see SURVEY.md).
 """
 
 __version__ = '0.1.0'
+
+import os as _os
+
+if _os.environ.get('EDVR_TPU_PLATFORM'):
+    # Force the JAX platform (e.g. 'cpu') from the environment. Some
+    # managed TPU environments rewrite JAX_PLATFORMS during interpreter
+    # bootstrap, so the standard env var cannot be trusted to reach
+    # jax; config.update before first backend use always works.
+    import jax as _jax
+
+    _jax.config.update('jax_platforms',
+                       _os.environ['EDVR_TPU_PLATFORM'])

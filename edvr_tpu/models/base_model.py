@@ -28,6 +28,31 @@ from edvr_tpu.parallel.mesh import (batch_sharding, get_data_mesh,
                                     replicated_sharding)
 from edvr_tpu.utils import get_root_logger
 
+# native checkpoints are pickles of numpy pytrees behind a magic
+# header: loads refuse to unpickle anything that does not declare
+# itself one of ours (unpickling arbitrary files executes arbitrary
+# code, so the guard is cheap insurance against a mistyped path)
+CKPT_MAGIC = b'EDVRTPU.CKPT.v1\n'
+
+
+def dump_checkpoint(blob, path):
+    """Write a guarded native checkpoint (header + pickled pytree)."""
+    with open(path, 'wb') as f:
+        f.write(CKPT_MAGIC)
+        pickle.dump(blob, f)
+
+
+def load_checkpoint(path):
+    """Read a guarded native checkpoint; refuses foreign files."""
+    with open(path, 'rb') as f:
+        head = f.read(len(CKPT_MAGIC))
+        if head != CKPT_MAGIC:
+            raise ValueError(
+                f'{path} is not an edvr_tpu checkpoint (missing the '
+                f'{CKPT_MAGIC!r} header) — refusing to unpickle it. '
+                'Reference .pth files are converted via their own path.')
+        return pickle.load(f)
+
 
 class BaseModel:
 
@@ -176,8 +201,7 @@ class BaseModel:
         blob = {param_key: jax.tree_util.tree_map(np.asarray, params)}
         for cname, tree in (extra or {}).items():
             blob[cname] = jax.tree_util.tree_map(np.asarray, tree)
-        with open(save_path, 'wb') as f:
-            pickle.dump(blob, f)
+        dump_checkpoint(blob, save_path)
 
     def load_network_collection(self, path, key):
         """Fetch an extra collection (e.g. 'batch_stats') saved alongside
@@ -185,9 +209,7 @@ class BaseModel:
         BN stats are handled by the converter)."""
         if path.endswith('.pth'):
             return None
-        with open(path, 'rb') as f:
-            ckpt = pickle.load(f)
-        return ckpt.get(key)
+        return load_checkpoint(path).get(key)
 
     def load_network(self, path, strict=True, param_key='params',
                      params_template=None):
@@ -208,8 +230,7 @@ class BaseModel:
                     raise ValueError(msg)
                 logger.warning(msg)
             return params
-        with open(path, 'rb') as f:
-            ckpt = pickle.load(f)
+        ckpt = load_checkpoint(path)
         params = ckpt.get(param_key, ckpt)
         if params_template is not None:
             t_flat = jax.tree_util.tree_structure(params_template)
@@ -238,8 +259,7 @@ class BaseModel:
         save_path = osp.join(self.opt['path']['training_states'],
                              save_filename)
         os.makedirs(osp.dirname(save_path), exist_ok=True)
-        with open(save_path, 'wb') as f:
-            pickle.dump(state, f)
+        dump_checkpoint(state, save_path)
 
     def resume_training(self, resume_state):
         """Restore optimizer states (reference: base_model.py:289-304)."""
@@ -277,5 +297,4 @@ def load_resume_state(opt):
     resume_state_path = opt['path'].get('resume_state')
     if not resume_state_path:
         return None
-    with open(resume_state_path, 'rb') as f:
-        return pickle.load(f)
+    return load_checkpoint(resume_state_path)

@@ -342,7 +342,7 @@ class StyleGAN2Model(BaseModel):
 
     def save(self, epoch, current_iter):
         import os
-        import pickle
+        from edvr_tpu.models.base_model import dump_checkpoint
         from edvr_tpu.parallel.dist_util import get_dist_info
         if get_dist_info()[0] == 0:
             if current_iter == -1:
@@ -352,7 +352,6 @@ class StyleGAN2Model(BaseModel):
             os.makedirs(osp.dirname(path), exist_ok=True)
             host = jax.tree_util.tree_map(np.asarray, {
                 'params': self.params_g, 'params_ema': self.params_g_ema})
-            with open(path, 'wb') as f:
-                pickle.dump(host, f)
+            dump_checkpoint(host, path)
         self.save_network(self.params_d, 'net_d', current_iter)
         self.save_training_state(epoch, current_iter)

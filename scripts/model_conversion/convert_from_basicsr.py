@@ -12,7 +12,6 @@ Usage:
 import argparse
 import json
 import os.path as osp
-import pickle
 import sys
 
 import numpy as np
@@ -25,6 +24,7 @@ def main():
     import jax.numpy as jnp
 
     from edvr_tpu.archs import define_network
+    from edvr_tpu.models.base_model import dump_checkpoint
     from edvr_tpu.convert import convert_state_dict, load_torch_weights
     from edvr_tpu.convert.torch_import import fold_spectral_norm
 
@@ -69,8 +69,7 @@ def main():
     else:
         payload = {'params': host['params'],
                    **{k: v for k, v in host.items() if k != 'params'}}
-    with open(args.out, 'wb') as f:
-        pickle.dump(payload, f)
+    dump_checkpoint(payload, args.out)
     print(f'Saved {args.out}')
 
 

@@ -21,7 +21,6 @@ Usage:
 import argparse
 import json
 import os.path as osp
-import pickle
 import sys
 
 import numpy as np
@@ -35,6 +34,7 @@ def main():
 
     from edvr_tpu.archs import define_network
     from edvr_tpu.archs.vgg_arch import NAMES
+    from edvr_tpu.models.base_model import dump_checkpoint
     from edvr_tpu.convert import convert_state_dict, load_torch_weights
     from edvr_tpu.convert.official import REMAPPERS
 
@@ -94,8 +94,7 @@ def main():
     host = jax.tree_util.tree_map(np.asarray,
                                   converted if multi else
                                   {'params': converted})
-    with open(args.out, 'wb') as f:
-        pickle.dump(host, f)
+    dump_checkpoint(host, args.out)
     print(f'Saved {args.out}')
 
 

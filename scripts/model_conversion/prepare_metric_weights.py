@@ -21,7 +21,6 @@ import argparse
 import json
 import os
 import os.path as osp
-import pickle
 import sys
 
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
@@ -59,9 +58,9 @@ def convert_vgg(path: str, out_dir: str) -> dict:
     prints = {f'vgg19/{k}': _fingerprint(v) for k, v in out.items()}
 
     dst = osp.join(out_dir, 'vgg19_features.ckpt')
-    with open(dst, 'wb') as f:
-        pickle.dump({'params': jax.tree_util.tree_map(np.asarray,
-                                                      params['params'])}, f)
+    from edvr_tpu.models.base_model import dump_checkpoint
+    dump_checkpoint({'params': jax.tree_util.tree_map(
+        np.asarray, params['params'])}, dst)
     print(f'VGG19 converted -> {dst}')
     return prints
 
@@ -76,8 +75,9 @@ def convert_inception(path: str, out_dir: str) -> dict:
     prints = {'fid_inception/pool3': _fingerprint(feats)}
 
     dst = osp.join(out_dir, 'fid_inception.ckpt')
-    with open(dst, 'wb') as f:
-        pickle.dump(jax.tree_util.tree_map(np.asarray, dict(variables)), f)
+    from edvr_tpu.models.base_model import dump_checkpoint
+    dump_checkpoint(jax.tree_util.tree_map(np.asarray, dict(variables)),
+                    dst)
     print(f'FID InceptionV3 converted -> {dst}')
     return prints
 

@@ -6,7 +6,7 @@ available offline; reference: basicsr/models/archs/vgg_arch.py:59-171,
 basicsr/metrics/fid.py:10-27)."""
 
 import os.path as osp
-import pickle
+from edvr_tpu.models.base_model import load_checkpoint
 import sys
 
 import numpy as np
@@ -97,9 +97,9 @@ def test_prepare_metric_weights_roundtrip(tmp_path):
     pmw.main(['--vgg', vgg_pth, '--inception', inc_pth, '--out', out,
               '--record', record])
 
-    # converted artifacts exist and reload into working nets
-    with open(osp.join(out, 'vgg19_features.ckpt'), 'rb') as f:
-        vgg_blob = pickle.load(f)
+    # converted artifacts exist (with the guard header) and reload
+    # into working nets
+    vgg_blob = load_checkpoint(osp.join(out, 'vgg19_features.ckpt'))
     assert 'params' in vgg_blob
     import jax
     from edvr_tpu.archs.vgg_arch import VGGFeatureExtractor
@@ -109,8 +109,7 @@ def test_prepare_metric_weights_roundtrip(tmp_path):
     assert feats['conv5_4'].shape == (1, 4, 4, 512)
     assert np.isfinite(np.asarray(feats['conv5_4'])).all()
 
-    with open(osp.join(out, 'fid_inception.ckpt'), 'rb') as f:
-        inc_vars = pickle.load(f)
+    inc_vars = load_checkpoint(osp.join(out, 'fid_inception.ckpt'))
     from edvr_tpu.archs.inception import FIDInceptionV3
     feats = FIDInceptionV3().apply(
         inc_vars, np.zeros((1, 299, 299, 3), np.float32))
