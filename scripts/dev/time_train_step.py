@@ -1,7 +1,9 @@
-"""Time one jitted EDVR-M train step (Charbonnier + Adam) on the real
-TPU. Used for DCN-backward trade studies (docs/TPUDesign.md).
+"""Time one jitted EDVR train step (Charbonnier + Adam) on the real
+TPU and account FLOPs/MFU. Used for DCN-backward trade studies and the
+production-config step table (docs/TPUDesign.md).
 
 Usage: python scripts/dev/time_train_step.py [--batch 4] [--crop 64]
+       [--config edvr_m|edvr_l]
 Env: EDVR_TPU_DCN_COL2IM=0|1 selects the DCN backward formulation.
 """
 
@@ -18,6 +20,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type=int, default=4)
     parser.add_argument('--crop', type=int, default=64)
+    parser.add_argument('--config', default='edvr_m',
+                        choices=['edvr_m', 'edvr_l'])
     args = parser.parse_args()
 
     import jax
@@ -29,11 +33,18 @@ def main():
     from edvr_tpu.models.losses import CharbonnierLoss
     charbonnier_loss = CharbonnierLoss()
 
+    cfgs = {
+        # EDVR-M: options/train/EDVR/train_EDVR_M_x4_SR_REDS*.yml
+        'edvr_m': dict(num_feat=64, num_extract_block=5,
+                       num_reconstruct_block=10),
+        # EDVR-L: options/train/EDVR/train_EDVR_L_x4_SR_REDS*.yml
+        'edvr_l': dict(num_feat=128, num_extract_block=5,
+                       num_reconstruct_block=40),
+    }
     net = define_network(
-        dict(type='EDVR', num_in_ch=3, num_out_ch=3, num_feat=64,
-             num_frame=5, deformable_groups=8, num_extract_block=5,
-             num_reconstruct_block=10, center_frame_idx=2, hr_in=False,
-             with_predeblur=False, with_tsa=True))
+        dict(type='EDVR', num_in_ch=3, num_out_ch=3, num_frame=5,
+             deformable_groups=8, center_frame_idx=2, hr_in=False,
+             with_predeblur=False, with_tsa=True, **cfgs[args.config]))
     params = net.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 5, 16, 16, 3)))['params']
     tx = optax.adam(4e-4)
@@ -72,9 +83,26 @@ def main():
         float(loss)
         times.append(time.time() - t0)
     ms = (min(times) - overhead) * 1000
-    print(f'col2im={os.environ.get("EDVR_TPU_DCN_COL2IM", "0")} '
-          f'batch={b} crop={c}: {ms:.1f} ms/step '
-          f'(all: {[round((t - overhead) * 1000, 1) for t in times]})')
+
+    # FLOP accounting: XLA's own count for the whole compiled step
+    # (fwd + bwd + Adam), vs the v5e per-chip peak
+    cost = step.lower(params, opt_state, *batches[0]).compile() \
+        .cost_analysis()
+    tflop = float(cost.get('flops', 0.0)) / 1e12
+    peak_bf16 = 197.0  # v5e per-chip bf16 TFLOP/s
+    mfu_bf16 = tflop / (ms / 1e3) / peak_bf16 * 100
+    import json
+    print(json.dumps({
+        'config': args.config, 'batch': b, 'crop_gt': c * 4,
+        'crop_lq': c,
+        'col2im': os.environ.get('EDVR_TPU_DCN_COL2IM', '0'),
+        'band_min_p': os.environ.get('EDVR_TPU_DCN_BAND_MIN_P', '4096'),
+        'ms_step': round(ms, 1),
+        'steps_per_s': round(1e3 / ms, 2),
+        'step_tflop': round(tflop, 3),
+        'mfu_pct_bf16peak': round(mfu_bf16, 1),
+        'all_ms': [round((t - overhead) * 1000, 1) for t in times],
+    }))
 
 
 if __name__ == '__main__':

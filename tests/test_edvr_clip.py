@@ -60,6 +60,22 @@ def test_clip_window_indices_border_protocol():
     np.testing.assert_array_equal(idx[99], [97, 98, 99, 96, 95])
 
 
+def test_clip_matches_window_forward_predeblur_hr_in():
+    # the EDVR-L deblur configs (predeblur + hr_in) route x_center and
+    # the pyramid through different resolutions; clip mode must agree
+    T, t = 6, 5
+    model, params = _build(num_frame=t, with_predeblur=True, hr_in=True)
+    rng = np.random.RandomState(3)
+    clip = jnp.asarray(rng.rand(T, 32, 32, 3), jnp.float32)
+    idx = clip_window_indices(T, t, 'replicate')
+    got = np.asarray(make_clip_restore_fn(model, 3)(params, clip,
+                                                    jnp.asarray(idx)))
+    fwd = jax.jit(model.apply)
+    for i in range(T):
+        want = np.asarray(fwd(params, clip[idx[i]][None]))[0]
+        np.testing.assert_allclose(got[i], want, rtol=2e-4, atol=2e-5)
+
+
 def test_clip_matches_window_forward_no_tsa():
     T, t = 6, 5
     model, params = _build(num_frame=t, with_tsa=False)
