@@ -22,8 +22,12 @@ frames/sec/chip; we assume EDVR-M PyTorch on A100 ~= 25 fps at this
 shape (paper-era TITAN Xp was ~10 fps), so baseline = 125 fps and
 vs_baseline = fps / 125.
 
-Env: EDVR_TPU_BENCH_WIN_BATCH (default 8) — windows restored per scan
-step; EDVR_TPU_BENCH_FRAMES (default 100).
+Env: EDVR_TPU_BENCH_WIN_BATCH (default 4) — windows restored per scan
+step; EDVR_TPU_BENCH_FRAMES (default 100). win_batch=8 exhausts the
+16 GB v5e HBM: the restore stage runs PCD at an effective batch of
+win_batch*5 full-resolution frames (each live L1-shaped intermediate is
+win_batch*5 x 180x320x64 f32 ≈ 147 MB/window-batch-unit) on top of the
+~1.9 GB resident clip pyramid.
 """
 
 import json
@@ -43,7 +47,7 @@ def main():
                                           make_clip_restore_fn)
 
     T = int(os.environ.get('EDVR_TPU_BENCH_FRAMES', '100'))
-    win_batch = int(os.environ.get('EDVR_TPU_BENCH_WIN_BATCH', '8'))
+    win_batch = int(os.environ.get('EDVR_TPU_BENCH_WIN_BATCH', '4'))
 
     net = EDVR(num_in_ch=3, num_out_ch=3, num_feat=64, num_frame=5,
                deformable_groups=8, num_extract_block=5,
