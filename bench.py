@@ -23,11 +23,13 @@ shape (paper-era TITAN Xp was ~10 fps), so baseline = 125 fps and
 vs_baseline = fps / 125.
 
 Env: EDVR_TPU_BENCH_WIN_BATCH (default 4) — windows restored per scan
-step; EDVR_TPU_BENCH_FRAMES (default 100). win_batch=8 exhausts the
-16 GB v5e HBM: the restore stage runs PCD at an effective batch of
-win_batch*5 full-resolution frames (each live L1-shaped intermediate is
-win_batch*5 x 180x320x64 f32 ≈ 147 MB/window-batch-unit) on top of the
-~1.9 GB resident clip pyramid.
+step; EDVR_TPU_BENCH_FRAMES (default 100). In f32 the restore stage
+runs PCD at an effective batch of win_batch*5 full-resolution frames:
+each live L1-shaped intermediate is a (win_batch*5, 180, 320, 64) f32
+array ≈ 73.7 MB per window (≈590 MB per scan step at win_batch=8), and
+several are live at once on top of the resident clip pyramid — which
+is why win_batch=8 exhausted 16 GB HBM before the pyramid and scan
+intermediates moved to bf16.
 """
 
 import json

@@ -8,8 +8,9 @@ restoration, plus metrics (PSNR/SSIM/NIQE/FID), data pipelines, and
 distributed data-parallel training over TPU meshes.
 
 Design: pure-functional flax.linen models in NHWC layout, one jitted
-train step per engine, optax optimizers, orbax checkpoints, host-side
-input pipeline, `jax.sharding.Mesh`-based parallelism. Public config /
+train step per engine, optax optimizers, header-guarded single-writer
+checkpoints (docs/TPUDesign.md "Checkpoint format"), host-side input
+pipeline, `jax.sharding.Mesh`-based parallelism. Public config /
 registry / metric semantics match the reference toolbox (see SURVEY.md).
 """
 

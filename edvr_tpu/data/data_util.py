@@ -1,7 +1,12 @@
-"""Dataset path/index helpers (reference: basicsr/data/data_util.py).
+"""Dataset path/index helpers.
 
-All image sequences are NHWC float32 RGB [0, 1] numpy arrays (the
-reference returns NCHW torch tensors)."""
+Protocol parity with the reference toolbox's data_util
+(reference: basicsr/data/data_util.py): the same pairing rules over
+lmdb/meta-info/folder sources, the same border-padding index modes, and
+the official DUF Gaussian downsampling. All image sequences here are
+NHWC float32 RGB [0, 1] numpy arrays (the reference returns NCHW torch
+tensors).
+"""
 
 from __future__ import annotations
 
@@ -15,120 +20,125 @@ from edvr_tpu.utils import img2tensor, scandir
 
 
 def read_img_seq(path, require_mod_crop=False, scale=1) -> np.ndarray:
-    """Read an image-folder (or list of paths) as a (t, h, w, c) RGB
-    float32 stack (reference: data_util.py:11-32)."""
-    if isinstance(path, list):
-        img_paths = path
-    else:
-        img_paths = sorted(list(scandir(path, full_path=True)))
-    imgs = [cv2.imread(v).astype(np.float32) / 255. for v in img_paths]
-    if require_mod_crop:
-        imgs = [mod_crop(img, scale) for img in imgs]
-    imgs = img2tensor(imgs, bgr2rgb=True, float32=True)
-    return np.stack(imgs, axis=0)
+    """Read an image folder (or explicit path list) as a (t, h, w, c)
+    RGB float32 stack (reference: data_util.py:11-32)."""
+    frame_paths = path if isinstance(path, list) else sorted(
+        scandir(path, full_path=True))
+    frames = []
+    for p in frame_paths:
+        img = cv2.imread(p).astype(np.float32) / 255.
+        if require_mod_crop:
+            img = mod_crop(img, scale)
+        frames.append(img)
+    return np.stack(img2tensor(frames, bgr2rgb=True, float32=True), axis=0)
 
 
 def generate_frame_indices(crt_idx: int, max_frame_num: int, num_frames: int,
                            padding: str = 'reflection'):
-    """Border-padded temporal window indices
-    (reference: data_util.py:35-88). Padding modes:
-    replicate | reflection | reflection_circle | circle."""
-    assert num_frames % 2 == 1, 'num_frames should be an odd number.'
-    assert padding in ('replicate', 'reflection', 'reflection_circle',
-                       'circle'), f'Wrong padding mode: {padding}.'
-    max_frame_num = max_frame_num - 1
-    num_pad = num_frames // 2
+    """Temporal window indices around ``crt_idx`` with border padding
+    (reference: data_util.py:35-88).
 
-    indices = []
-    for i in range(crt_idx - num_pad, crt_idx + num_pad + 1):
-        if i < 0:
-            if padding == 'replicate':
-                pad_idx = 0
-            elif padding == 'reflection':
-                pad_idx = -i
-            elif padding == 'reflection_circle':
-                pad_idx = crt_idx + num_pad - i
-            else:
-                pad_idx = num_frames + i
-        elif i > max_frame_num:
-            if padding == 'replicate':
-                pad_idx = max_frame_num
-            elif padding == 'reflection':
-                pad_idx = max_frame_num * 2 - i
-            elif padding == 'reflection_circle':
-                pad_idx = (crt_idx - num_pad) - (i - max_frame_num)
-            else:
-                pad_idx = i - num_frames
-        else:
-            pad_idx = i
-        indices.append(pad_idx)
-    return indices
+    Out-of-range positions are remapped per mode:
+      * replicate:          ... 0 0 | 0 1 2 ... n | n n ...
+      * reflection:         ... 2 1 | 0 1 2 ... n | n-1 n-2 ...
+      * reflection_circle:  reflect about the window's own edge frames
+      * circle:             wrap by the window length
+    """
+    if num_frames % 2 != 1:
+        raise ValueError(f'window length must be odd, got {num_frames}')
+    if padding not in ('replicate', 'reflection', 'reflection_circle',
+                       'circle'):
+        raise ValueError(f'unknown padding mode {padding!r}')
+    last = max_frame_num - 1
+    half = num_frames // 2
+
+    def remap(i):
+        if 0 <= i <= last:
+            return i
+        if padding == 'replicate':
+            return min(max(i, 0), last)
+        if padding == 'reflection':
+            return -i if i < 0 else 2 * last - i
+        if padding == 'reflection_circle':
+            # reflect about the window edges (crt_idx +/- half)
+            return (crt_idx + half - i if i < 0
+                    else crt_idx - half - (i - last))
+        if padding == 'circle':
+            return i + num_frames if i < 0 else i - num_frames
+        raise ValueError(f'unknown padding mode {padding!r}')
+
+    return [remap(i) for i in range(crt_idx - half, crt_idx + half + 1)]
+
+
+def _pair_of(folders, keys):
+    if len(folders) != 2 or len(keys) != 2:
+        raise ValueError(
+            f'need exactly (input, gt) folders and keys, got {len(folders)} '
+            f'folders / {len(keys)} keys')
+    return folders[0], folders[1], keys[0], keys[1]
+
+
+def _lmdb_keys(folder):
+    with open(osp.join(folder, 'meta_info.txt')) as fh:
+        return [line.split('.')[0] for line in fh]
 
 
 def paired_paths_from_lmdb(folders, keys):
     """Paired path dicts from two .lmdb folders sharing keys
     (reference: data_util.py:91-155)."""
-    assert len(folders) == 2 and len(keys) == 2
-    input_folder, gt_folder = folders
-    input_key, gt_key = keys
-    if not (input_folder.endswith('.lmdb') and gt_folder.endswith('.lmdb')):
+    in_dir, gt_dir, in_key, gt_key = _pair_of(folders, keys)
+    bad = [d for d in (in_dir, gt_dir) if not d.endswith('.lmdb')]
+    if bad:
         raise ValueError(
-            f'{input_key} folder and {gt_key} folder should both in lmdb '
-            f'formats. But received {input_key}: {input_folder}; '
-            f'{gt_key}: {gt_folder}')
-    with open(osp.join(input_folder, 'meta_info.txt')) as fin:
-        input_lmdb_keys = [line.split('.')[0] for line in fin]
-    with open(osp.join(gt_folder, 'meta_info.txt')) as fin:
-        gt_lmdb_keys = [line.split('.')[0] for line in fin]
-    if set(input_lmdb_keys) != set(gt_lmdb_keys):
+            f'paired lmdb mode needs both folders in .lmdb form; got '
+            f'{in_key}: {in_dir}, {gt_key}: {gt_dir}')
+    in_keys, gt_keys = set(_lmdb_keys(in_dir)), set(_lmdb_keys(gt_dir))
+    if in_keys != gt_keys:
         raise ValueError(
-            f'Keys in {input_key}_folder and {gt_key}_folder are different.')
-    return [{f'{input_key}_path': k, f'{gt_key}_path': k}
-            for k in sorted(input_lmdb_keys)]
+            f'{in_key} and {gt_key} lmdb key sets differ '
+            f'(e.g. {sorted(in_keys ^ gt_keys)[:3]})')
+    return [{f'{in_key}_path': k, f'{gt_key}_path': k}
+            for k in sorted(in_keys)]
 
 
 def paired_paths_from_meta_info_file(folders, keys, meta_info_file,
                                      filename_tmpl):
     """Paired path dicts from a meta-info manifest
     (reference: data_util.py:158-206)."""
-    assert len(folders) == 2 and len(keys) == 2
-    input_folder, gt_folder = folders
-    input_key, gt_key = keys
-    with open(meta_info_file, 'r') as fin:
-        gt_names = [line.split(' ')[0] for line in fin]
-    paths = []
+    in_dir, gt_dir, in_key, gt_key = _pair_of(folders, keys)
+    with open(meta_info_file) as fh:
+        gt_names = [line.split(' ')[0] for line in fh]
+    out = []
     for gt_name in gt_names:
-        basename, ext = osp.splitext(osp.basename(gt_name))
-        input_name = f'{filename_tmpl.format(basename)}{ext}'
-        paths.append({
-            f'{input_key}_path': osp.join(input_folder, input_name),
-            f'{gt_key}_path': osp.join(gt_folder, gt_name)
+        stem, ext = osp.splitext(osp.basename(gt_name))
+        out.append({
+            f'{in_key}_path':
+                osp.join(in_dir, filename_tmpl.format(stem) + ext),
+            f'{gt_key}_path': osp.join(gt_dir, gt_name),
         })
-    return paths
+    return out
 
 
 def paired_paths_from_folder(folders, keys, filename_tmpl):
     """Paired path dicts by scanning two folders
     (reference: data_util.py:209-247)."""
-    assert len(folders) == 2 and len(keys) == 2
-    input_folder, gt_folder = folders
-    input_key, gt_key = keys
-    input_paths = list(scandir(input_folder))
-    gt_paths = list(scandir(gt_folder))
-    assert len(input_paths) == len(gt_paths), (
-        f'{input_key} and {gt_key} datasets have different number of '
-        f'images: {len(input_paths)}, {len(gt_paths)}.')
-    paths = []
-    for gt_path in gt_paths:
-        basename, ext = osp.splitext(osp.basename(gt_path))
-        input_name = f'{filename_tmpl.format(basename)}{ext}'
-        assert input_name in input_paths, (
-            f'{input_name} is not in {input_key}_paths.')
-        paths.append({
-            f'{input_key}_path': osp.join(input_folder, input_name),
-            f'{gt_key}_path': osp.join(gt_folder, gt_path)
-        })
-    return paths
+    in_dir, gt_dir, in_key, gt_key = _pair_of(folders, keys)
+    in_names = set(scandir(in_dir))
+    gt_names = list(scandir(gt_dir))
+    if len(in_names) != len(gt_names):
+        raise ValueError(
+            f'{in_key} folder has {len(in_names)} images but {gt_key} '
+            f'folder has {len(gt_names)}')
+    out = []
+    for gt_name in gt_names:
+        stem, ext = osp.splitext(osp.basename(gt_name))
+        in_name = filename_tmpl.format(stem) + ext
+        if in_name not in in_names:
+            raise ValueError(
+                f'{in_name} (paired with {gt_name}) missing from {in_dir}')
+        out.append({f'{in_key}_path': osp.join(in_dir, in_name),
+                    f'{gt_key}_path': osp.join(gt_dir, gt_name)})
+    return out
 
 
 def paths_from_folder(folder):
@@ -137,9 +147,8 @@ def paths_from_folder(folder):
 
 def paths_from_lmdb(folder):
     if not folder.endswith('.lmdb'):
-        raise ValueError(f'Folder {folder} should be in lmdb format.')
-    with open(osp.join(folder, 'meta_info.txt')) as fin:
-        return [line.split('.')[0] for line in fin]
+        raise ValueError(f'{folder} is not an .lmdb folder')
+    return _lmdb_keys(folder)
 
 
 def generate_gaussian_kernel(kernel_size=13, sigma=1.6) -> np.ndarray:
@@ -158,7 +167,9 @@ def duf_downsample(x: np.ndarray, kernel_size=13, scale=4) -> np.ndarray:
     Args:
         x: (t, h, w, c) or (b, t, h, w, c) float array.
     """
-    assert scale in (2, 3, 4), f'Only support scale (2, 3, 4), got {scale}.'
+    if scale not in (2, 3, 4):
+        raise ValueError(f'DUF downsampling supports scale 2/3/4, '
+                         f'got {scale}')
     squeeze_flag = False
     if x.ndim == 4:
         squeeze_flag = True

@@ -1,9 +1,6 @@
-"""Miscellaneous host-side utilities.
-
-Equivalents of the reference's misc helpers
-(reference: basicsr/utils/misc.py): seeding, experiment directory
-management, directory scanning, and resume-path rewriting.
-"""
+"""Miscellaneous host-side utilities: seeding, experiment-directory
+management, directory scanning, and resume-path rewriting (behavior
+parity with basicsr/utils/misc.py)."""
 
 from __future__ import annotations
 
@@ -18,7 +15,7 @@ from edvr_tpu.parallel.dist_util import master_only
 
 
 def set_random_seed(seed: int) -> None:
-    """Seed python and numpy RNGs (reference: basicsr/utils/misc.py:12-18).
+    """Seed python and numpy RNGs.
 
     JAX randomness is handled by explicit `jax.random` keys derived from
     the same seed at the engine level, not by global state.
@@ -32,91 +29,97 @@ def get_time_str() -> str:
 
 
 def mkdir_and_rename(path: str) -> None:
-    """mkdir; if it exists, rename the old one with a timestamp then mkdir
-    (reference: basicsr/utils/misc.py:25-35)."""
+    """Create ``path``, archiving any existing directory of that name.
+
+    A pre-existing directory is moved aside to
+    ``<path>_archived_<timestamp>`` so reruns never overwrite earlier
+    experiment outputs.
+    """
     if osp.exists(path):
-        new_name = path + '_archived_' + get_time_str()
-        print(f'Path already exists. Rename it to {new_name}', flush=True)
-        os.rename(path, new_name)
+        archived = f'{path}_archived_{get_time_str()}'
+        print(f'{path} exists — archiving the old run to {archived}',
+              flush=True)
+        os.rename(path, archived)
     os.makedirs(path, exist_ok=True)
+
+
+# opt['path'] keys that are settings rather than directories
+_NON_DIR_PATH_KEYS = ('strict_load', 'pretrain_network', 'resume',
+                      'param_key')
 
 
 @master_only
 def make_exp_dirs(opt) -> None:
-    """Create experiment/result directories
-    (reference: basicsr/utils/misc.py:38-50)."""
-    path_opt = opt['path'].copy()
-    if opt['is_train']:
-        mkdir_and_rename(path_opt.pop('experiments_root'))
-    else:
-        mkdir_and_rename(path_opt.pop('results_root'))
-    for key, path in path_opt.items():
-        if ('strict_load' in key or 'pretrain_network' in key
-                or 'resume' in key or 'param_key' in key):
+    """Create the experiment (train) / results (test) directory tree."""
+    paths = dict(opt['path'])
+    root_key = 'experiments_root' if opt['is_train'] else 'results_root'
+    mkdir_and_rename(paths.pop(root_key))
+    for key, path in paths.items():
+        if path is None:
             continue
-        if path is not None:
-            os.makedirs(path, exist_ok=True)
+        if any(tag in key for tag in _NON_DIR_PATH_KEYS):
+            continue
+        os.makedirs(path, exist_ok=True)
 
 
 def scandir(dir_path, suffix=None, recursive=False, full_path=False):
-    """Scan a directory for files, optionally recursively
-    (reference: basicsr/utils/misc.py:53-93).
+    """Yield files under ``dir_path``, skipping dot-files.
 
     Args:
         dir_path: Directory to scan.
-        suffix: Only return files with this suffix (str or tuple).
-        recursive: Recurse into subdirectories.
-        full_path: Return full paths instead of paths relative to dir_path.
+        suffix: Only yield files whose (relative) path ends with this
+            str or any of this tuple of strs.
+        recursive: Descend into (non-hidden) subdirectories.
+        full_path: Yield absolute-style joined paths instead of paths
+            relative to ``dir_path``.
 
     Yields:
-        str: file paths.
+        str: file paths in os.scandir order.
     """
-    if (suffix is not None) and not isinstance(suffix, (str, tuple)):
-        raise TypeError('"suffix" must be a string or tuple of strings')
-    root = dir_path
+    if suffix is not None and not isinstance(suffix, (str, tuple)):
+        raise TypeError(
+            f'suffix must be str or tuple of str, got {type(suffix)}')
 
-    def _scandir(dir_path, suffix, recursive):
-        for entry in os.scandir(dir_path):
-            if not entry.name.startswith('.') and entry.is_file():
-                return_path = entry.path if full_path else osp.relpath(
-                    entry.path, root)
-                if suffix is None or return_path.endswith(suffix):
-                    yield return_path
-            elif recursive and entry.is_dir():
-                yield from _scandir(entry.path, suffix, recursive)
+    def walk(cur):
+        for entry in os.scandir(cur):
+            if entry.name.startswith('.'):
+                continue
+            if entry.is_dir():
+                if recursive:
+                    yield from walk(entry.path)
+                continue
+            out = entry.path if full_path else osp.relpath(entry.path,
+                                                           dir_path)
+            if suffix is None or out.endswith(suffix):
+                yield out
 
-    return _scandir(dir_path, suffix, recursive)
+    return walk(dir_path)
 
 
 def check_resume(opt, resume_iter: int) -> None:
-    """When resuming, rewrite pretrain paths to the resume checkpoints
-    (reference: basicsr/utils/misc.py:96-122).
+    """Point every ``pretrain_network_*`` option at the resume-iter
+    checkpoint files (``<models>/net_<suffix>_<iter>.ckpt``).
 
-    Networks are saved as ``<models>/net_<name-suffix>_<iter>.<ext>``; on
-    resume every ``pretrain_network_*`` key is pointed at the matching
-    file for ``resume_iter``.
+    Called when a training state is being resumed: whatever pretrain
+    paths the YAML named are superseded by the run's own checkpoints.
     """
     from edvr_tpu.utils.logger import get_root_logger
-    logger = get_root_logger()
     if not opt['path'].get('resume_state'):
         return
-    # get all the networks
-    networks = [key for key in opt.keys() if key.startswith('network_')]
-    flag_pretrain = False
-    for network in networks:
-        if opt['path'].get(f'pretrain_{network}') is not None:
-            flag_pretrain = True
-    if flag_pretrain:
-        logger.warning('pretrain_network paths will be ignored during '
-                       'resuming.')
-    for network in networks:
-        name = f'pretrain_{network}'
-        basename = network.replace('network_', '')
-        if opt['path'].get('ignore_resume_networks') is None or (
-                network not in opt['path']['ignore_resume_networks']):
-            opt['path'][name] = osp.join(opt['path']['models'],
-                                         f'net_{basename}_{resume_iter}.ckpt')
-            logger.info(f"Set {name} to {opt['path'][name]}")
+    logger = get_root_logger()
+    networks = [k for k in opt if k.startswith('network_')]
+    if any(opt['path'].get(f'pretrain_{n}') is not None for n in networks):
+        logger.warning(
+            'resume overrides the configured pretrain_network paths')
+    skip = opt['path'].get('ignore_resume_networks') or ()
+    for net in networks:
+        if net in skip:
+            continue
+        suffix = net[len('network_'):]
+        ckpt = osp.join(opt['path']['models'],
+                        f'net_{suffix}_{resume_iter}.ckpt')
+        opt['path'][f'pretrain_{net}'] = ckpt
+        logger.info(f'resume: pretrain_{net} <- {ckpt}')
 
 
 def sizeof_fmt(size: float, suffix: str = 'B') -> str:

@@ -1,11 +1,14 @@
 """YAML option parsing with the reference toolbox's key semantics.
 
-Mirrors the behavior of the reference parser
-(reference: basicsr/utils/options.py:31-89): ``is_train`` injection,
-per-dataset ``phase``/``scale`` propagation, ``~`` expansion for data and
-checkpoint paths, experiment/results directory layout, and debug-mode
-frequency overrides. Plain dicts are insertion-ordered in py3.7+, so no
-OrderedDict machinery is needed.
+The YAML files themselves are interchangeable with the reference's
+(reference: basicsr/utils/options.py:31-89). ``parse`` adds the same
+derived keys: ``is_train``, per-dataset ``phase``/``scale``, ``~``
+expansion for data and checkpoint paths, the
+``experiments/<name>/{models,training_states,visualization}`` (train)
+or ``results/<name>/visualization`` (test) directory layout, and the
+debug-mode frequency shortcuts triggered by 'debug' in the experiment
+name. Plain dicts are insertion-ordered in py3.7+, so no OrderedDict
+machinery is needed.
 """
 
 from __future__ import annotations
@@ -23,6 +26,44 @@ def yaml_load(s: str):
     return yaml.load(s, Loader=yaml.SafeLoader)
 
 
+def _prepare_datasets(opt):
+    """Inject phase/scale into each dataset block; expand dataroots."""
+    scale = opt.get('scale')
+    for phase_key, ds in opt.get('datasets', {}).items():
+        # 'test_1', 'test_2', ... are all 'test' phases
+        ds['phase'] = phase_key.split('_')[0]
+        if scale is not None:
+            ds['scale'] = scale
+        for root_key in ('dataroot_gt', 'dataroot_lq'):
+            if ds.get(root_key) is not None:
+                ds[root_key] = osp.expanduser(ds[root_key])
+
+
+def _layout_dirs(opt, is_train):
+    """Compute the run's output directory tree under path.root."""
+    paths = opt['path']
+    if is_train:
+        exp = osp.join(paths['root'], 'experiments', opt['name'])
+        paths.update(
+            experiments_root=exp,
+            models=osp.join(exp, 'models'),
+            training_states=osp.join(exp, 'training_states'),
+            log=exp,
+            visualization=osp.join(exp, 'visualization'))
+    else:
+        res = osp.join(paths['root'], 'results', opt['name'])
+        paths.update(results_root=res, log=res,
+                     visualization=osp.join(res, 'visualization'))
+
+
+def _debug_shortcuts(opt):
+    """'debug' experiments validate/log/checkpoint near-constantly."""
+    if 'val' in opt:
+        opt['val']['val_freq'] = 8
+    opt['logger']['print_freq'] = 1
+    opt['logger']['save_checkpoint_freq'] = 8
+
+
 def parse(opt_path: str, is_train: bool = True, root: str | None = None):
     """Parse an option file.
 
@@ -37,62 +78,30 @@ def parse(opt_path: str, is_train: bool = True, root: str | None = None):
         dict: parsed options.
     """
     opt = yaml_load(opt_path)
-
     opt['is_train'] = is_train
+    _prepare_datasets(opt)
 
-    # datasets: propagate phase and scale, expand user in dataroots
-    # (reference: basicsr/utils/options.py:48-57)
-    for phase, dataset in opt.get('datasets', {}).items():
-        phase = phase.split('_')[0]  # e.g. test_1, test_2 -> test
-        dataset['phase'] = phase
-        if 'scale' in opt:
-            dataset['scale'] = opt['scale']
-        for key in ('dataroot_gt', 'dataroot_lq'):
-            if dataset.get(key) is not None:
-                dataset[key] = osp.expanduser(dataset[key])
+    paths = opt.setdefault('path', {})
+    for key, val in paths.items():
+        if val is not None and ('resume_state' in key
+                                or 'pretrain_network' in key):
+            paths[key] = osp.expanduser(val)
+    paths['root'] = osp.abspath(root) if root else osp.abspath('.')
 
-    # paths (reference: basicsr/utils/options.py:60-65)
-    opt.setdefault('path', {})
-    for key, val in opt['path'].items():
-        if (val is not None) and ('resume_state' in key
-                                  or 'pretrain_network' in key):
-            opt['path'][key] = osp.expanduser(val)
-    opt['path']['root'] = osp.abspath(root) if root else osp.abspath('.')
-
-    if is_train:
-        experiments_root = osp.join(opt['path']['root'], 'experiments',
-                                    opt['name'])
-        opt['path']['experiments_root'] = experiments_root
-        opt['path']['models'] = osp.join(experiments_root, 'models')
-        opt['path']['training_states'] = osp.join(experiments_root,
-                                                  'training_states')
-        opt['path']['log'] = experiments_root
-        opt['path']['visualization'] = osp.join(experiments_root,
-                                                'visualization')
-        # debug mode shortcuts (reference: basicsr/utils/options.py:78-82)
-        if 'debug' in opt['name']:
-            if 'val' in opt:
-                opt['val']['val_freq'] = 8
-            opt['logger']['print_freq'] = 1
-            opt['logger']['save_checkpoint_freq'] = 8
-    else:
-        results_root = osp.join(opt['path']['root'], 'results', opt['name'])
-        opt['path']['results_root'] = results_root
-        opt['path']['log'] = results_root
-        opt['path']['visualization'] = osp.join(results_root, 'visualization')
-
+    _layout_dirs(opt, is_train)
+    if is_train and 'debug' in opt['name']:
+        _debug_shortcuts(opt)
     return opt
 
 
 def dict2str(opt, indent_level: int = 1) -> str:
-    """Format a nested option dict for logging
-    (reference: basicsr/utils/options.py:92-110)."""
-    msg = '\n'
+    """Format a nested option dict for logging (reference layout:
+    ``key:[`` ... ``]`` blocks, two spaces per level)."""
+    pad = ' ' * (indent_level * 2)
+    lines = ['']
     for k, v in opt.items():
         if isinstance(v, dict):
-            msg += ' ' * (indent_level * 2) + k + ':['
-            msg += dict2str(v, indent_level + 1)
-            msg += ' ' * (indent_level * 2) + ']\n'
+            lines.append(f'{pad}{k}:[{dict2str(v, indent_level + 1)}{pad}]')
         else:
-            msg += ' ' * (indent_level * 2) + k + ': ' + str(v) + '\n'
-    return msg
+            lines.append(f'{pad}{k}: {v}')
+    return '\n'.join(lines) + '\n'
