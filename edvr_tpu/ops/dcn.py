@@ -321,40 +321,36 @@ _gather_blend.defvjp(_gather_blend_fwd, _gather_blend_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _band_apply(static, tab4, off_b, msk_b, off, msk, wexp):
+def _band_apply(static, tab4, off, msk, wexp):
     """Banded-kernel DCN core: (table, offsets, mask, weights) -> out.
 
     Forward runs the Pallas one-hot band kernel
-    (edvr_tpu/ops/dcn_band.py) — which computes the bilinear/mask
-    coefficients AND the in-window indicator in-kernel from the
-    pre-banded fields and writes NHWC output blocks directly — plus an
-    exact compacted patch for out-of-window points (rank-windowed
-    while_loop; exact for any outlier count). The offset/mask fields
-    come in TWICE: banded (the kernel layout — banding happens once,
-    outside this vjp, so its cotangent flows back through plain
-    autodiff) and NHWC (only the compacted patch's per-point scalar
-    reads touch it). Backward runs the band backward kernel on the
-    banded residuals and closes the chain with the analytic coordinate
-    gradient (the reference CUDA col2im_coord,
-    deform_conv_cuda_kernel.cu:374, in closed form). First-order only.
+    (edvr_tpu/ops/dcn_band.py) — which consumes the offset/mask fields
+    in their NATIVE NHWC conv layout (in-kernel one-hot MXU
+    select-transpose per group), computes the bilinear/mask
+    coefficients AND the in-window indicator in-kernel, and writes
+    NHWC output blocks directly — plus an exact compacted patch for
+    out-of-window points (rank-windowed while_loop; exact for any
+    outlier count). Backward runs the band backward kernel, which
+    emits NHWC offset/mask gradients the same way, and closes the
+    chain with the analytic coordinate gradient (the reference CUDA
+    col2im_coord, deform_conv_cuda_kernel.cu:374, in closed form).
+    First-order only.
 
     Args:
         static: (BandGeom, c_per, interpret).
         tab4: (n, dg, h, tiles_x_pad, lanes) pre-padded tile table
             (etype).
-        off_b: (dg, n, By, Bx, 2K, NC) float32 banded offsets.
-        msk_b: (dg, n, By, Bx, K, NC) float32 banded mask.
         off: (n, out_h, out_w, dg*2K) float32 NHWC offsets.
         msk: (n, out_h, out_w, dg*K) float32 NHWC mask (sigmoided).
         wexp: (K, dg, lanes, cout) slot-tiled weights (etype).
 
     Returns:
-        (n, Hp, Wp, cout) float32 band-padded NHWC output (caller
-        crops to out_h/out_w).
+        (n, out_h, out_w, cout) float32 NHWC output.
     """
     from edvr_tpu.ops import dcn_band
     bgeom, c_per, interpret = static
-    outp, inw = dcn_band.band_forward(bgeom, tab4, off_b, msk_b, wexp,
+    outp, inw = dcn_band.band_forward(bgeom, tab4, off, msk, wexp,
                                       interpret=interpret)
     cout = outp.shape[-1]
     cap = max(1024, inw.size // 64)
@@ -365,10 +361,10 @@ def _band_apply(static, tab4, off_b, msk_b, off, msk, wexp):
     return out_flat.reshape(outp.shape)
 
 
-def _band_apply_fwd(static, tab4, off_b, msk_b, off, msk, wexp):
+def _band_apply_fwd(static, tab4, off, msk, wexp):
     from edvr_tpu.ops import dcn_band
     bgeom, c_per, interpret = static
-    outp, inw = dcn_band.band_forward(bgeom, tab4, off_b, msk_b, wexp,
+    outp, inw = dcn_band.band_forward(bgeom, tab4, off, msk, wexp,
                                       interpret=interpret)
     cout = outp.shape[-1]
     cap = max(1024, inw.size // 64)
@@ -377,7 +373,7 @@ def _band_apply_fwd(static, tab4, off_b, msk_b, off, msk, wexp):
         bgeom, outp.reshape(-1, cout), tab, off, msk, inw, wexp,
         tab.dtype, cap)
     return (out_flat.reshape(outp.shape),
-            (tab4, off_b, msk_b, off, msk, inw, wexp))
+            (tab4, off, msk, inw, wexp))
 
 
 def _band_apply_bwd(static, res, dout):
@@ -385,28 +381,26 @@ def _band_apply_bwd(static, res, dout):
     one-hot regather + windowed table gradient (no scatter) + analytic
     coordinate/mask gradient + accumulated weight gradient, plus the
     exact compacted patch for out-of-window points. `dout` arrives in
-    the kernel's native band-padded NHWC layout — no relayout; the
-    kernel's offset/mask gradients leave BANDED (the outer band_field
-    autodiff unbands them), the patch's leave NHWC. The in-window
-    indicator is a forward-kernel residual, not an input."""
+    natural NHWC layout and the kernel's offset/mask gradients leave
+    NHWC too (in-kernel one-hot re-transpose, accumulated across the
+    dg grid steps) — no XLA relayout anywhere on the band path. The
+    in-window indicator is a forward-kernel residual, not an input."""
     from edvr_tpu.ops import dcn_band
     bgeom, c_per, interpret = static
-    tab4, off_b, msk_b, off, msk, inw, wexp = res
+    tab4, off, msk, inw, wexp = res
 
-    wg, d_off_b, d_msk_b, dwexp = dcn_band.band_backward(
-        bgeom, tab4, off_b, msk_b, dout, wexp, interpret=interpret)
+    wg, d_off, d_msk, dwexp = dcn_band.band_backward(
+        bgeom, tab4, off, msk, dout, wexp, interpret=interpret)
     dtab = dcn_band.fold_windows(bgeom, wg, tab4.shape)
 
     cap = max(1024, inw.size // 64)
     tab = tab4.reshape(-1, tab4.shape[-1])
     dtab_flat = dtab.reshape(-1, tab4.shape[-1])
-    d_off = jnp.zeros(off.shape, jnp.float32)
-    d_msk = jnp.zeros(msk.shape, jnp.float32)
     dtab_flat, d_off, d_msk, dwexp = dcn_band.outlier_patch_bwd(
         bgeom, (dtab_flat, d_off, d_msk, dwexp), tab, off, msk, inw,
         dout, wexp, tab.dtype, cap)
-    return (dtab_flat.reshape(tab4.shape).astype(tab4.dtype), d_off_b,
-            d_msk_b, d_off, d_msk, dwexp.astype(wexp.dtype))
+    return (dtab_flat.reshape(tab4.shape).astype(tab4.dtype),
+            d_off, d_msk, dwexp.astype(wexp.dtype))
 
 
 _band_apply.defvjp(_band_apply_fwd, _band_apply_bwd)
@@ -641,16 +635,15 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
     use_band = bgeom is not None
 
     if use_band:
-        # the banded Pallas kernel computes the bilinear coefficients
-        # AND the in-window indicator in-kernel from the banded
-        # offset/mask fields and writes NHWC band blocks, so the
-        # XLA-side prep is exactly: padded table build (one gather +
-        # one transpose, in etype) and one banded transpose per field
-        # (earlier versions also materialized (dg*K, n, P) rows,
-        # double-transposed the fields, and computed the in-window
-        # mask in XLA — ~19 ms of layout/loop ops per L1 call, as
-        # large as the kernel itself)
-        from edvr_tpu.ops import dcn_band
+        # the banded Pallas kernel consumes the offset/mask fields in
+        # their native NHWC conv layout (in-kernel one-hot MXU
+        # select-transpose), computes the bilinear coefficients AND
+        # the in-window indicator in-kernel, and writes NHWC output
+        # blocks, so the XLA-side prep is exactly: padded table build
+        # (one gather + one transpose, in etype). Earlier versions
+        # also banded-transposed both fields (and their gradients
+        # back) — ~500 MB of HBM round-trip per EDVR-M L1 call, as
+        # large as the kernel itself.
         txp = bgeom.tiles_x_pad
         col_idx = (np.arange(txp)[:, None] * SX +
                    np.arange(PX)[None, :]).reshape(-1)
@@ -669,11 +662,9 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
                                dg * 2 * K).astype(jnp.float32)
         msk_f = mask.reshape(n, out_h, out_w,
                              dg * K).astype(jnp.float32)
-        off_b = dcn_band.band_field(bgeom, off_f, 2 * K)
-        msk_b = dcn_band.band_field(bgeom, msk_f, K)
         outp = _band_apply((bgeom, c_per, band_interpret),
-                           tab4, off_b, msk_b, off_f, msk_f, wexp)
-        out = outp[:, :out_h, :out_w].astype(x.dtype)
+                           tab4, off_f, msk_f, wexp)
+        out = outp.astype(x.dtype)
         if bias is not None:
             out = out + bias
         return out

@@ -23,7 +23,13 @@ Per (image, band, group) grid step the kernel:
      indices of each tap IN-KERNEL (earlier versions materialized
      per-(group, tap) index/coefficient streams in HBM — 763 MB at the
      EDVR-M L1 shape, ~28 ms/call of pure layout copies, and enough
-     buffers to OOM HBM at batch 5);
+     buffers to OOM HBM at batch 5). The offset/mask fields arrive in
+     their NATIVE NHWC conv layout: the kernel extracts its group's
+     per-tap (1, NC) rows with one exact one-hot MXU select-transpose
+     per (band, group) step (float32 @ Precision.HIGHEST — bit-exact,
+     verified), replacing the v2 design's XLA banding transpose of the
+     whole field (~16 ms and ~500 MB of HBM round-trip per EDVR-M L1
+     call — as much as the kernel itself);
   3. builds each tap's (W, NC) one-hot selection matrix in VMEM as the
      outer product of a y-row one-hot and an x-tile one-hot (the
      iota/compares cost (span_y + span_tx) * NC instead of W * NC and
@@ -49,9 +55,11 @@ floored to 8 with the span absorbing the drift, and start/8 is passed
 through SMEM so the divisibility is provable; the table must be pinned
 to pltpu.HBM or the compiler VMEM-places it and the unaligned dynamic
 slice fails to lower; block shapes must keep their trailing dims
-(8, 128)-divisible or span the array dim, which is why the offsets ride
-in a (dg, n, Hp, 3K, Wp) layout (3K and Wp-blocks span/divide cleanly
-and per-tap channels are STATIC sublane slices).
+(8, 128)-divisible or span the array dim (the NHWC field blocks span
+the channel dim). Blocks need NOT divide the array: edge bands read
+undefined rows and write masked stores — the kernel zeroes the
+undefined offset/mask rows at band-padding points (pad_pt), so no NaN
+from uninitialized memory can propagate into real outputs.
 
 Reference semantics: basicsr/models/ops/dcn/src/deform_conv_cuda_kernel.cu
 (modulated deformable im2col + GEMM); parity is tested against the XLA
@@ -227,30 +235,30 @@ def point_coeffs(geom, dy, dx, m, pos_y, pos_x):
 
 
 @functools.partial(jax.jit, static_argnames=('geom', 'interpret'))
-def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
+def band_forward(geom, tab4, off, msk, wexp, interpret=False):
     """Banded DCN forward: in-kernel coefficients + one-hot MXU select.
 
     Fully "row-space": every per-tap quantity lives as a (1, NC) or
     (x, NC) array with band points on lanes, the bilinear lane-slot
     expansion uses sublane-iota selects on the TRANSPOSED gather result
     (128, NC), and both MXU contractions keep NC on the non-contracted
-    side — zero vector relayouts in the whole kernel.  The output is
-    written as NHWC (1, r, bw, cout) band blocks — the (NC, cout) ->
-    (r, bw, cout) split is a free sublane reshape, so the caller never
-    unbands anything.
+    side — zero vector relayouts in the whole kernel.  The offset/mask
+    fields arrive in their native NHWC layout; the kernel's own
+    one-hot select-transpose (exact: float32 MXU @ HIGHEST) extracts
+    the group's per-tap rows, so the caller does NO banding transpose,
+    NO band padding, and NO output crop (edge bands use Pallas'
+    masked partial blocks).
 
     Args:
         geom: BandGeom.
         tab4: (n, dg, h, tiles_x_pad, 128) tile table (etype), built
             at the 8-aligned padded tile width.
-        off_b: (dg, n, By, Bx, 2K, NC) float32 banded offsets
-            (`band_field`).
-        msk_b: (dg, n, By, Bx, K, NC) float32 banded mask.
+        off: (n, out_h, out_w, dg*2K) float32 NHWC offsets.
+        msk: (n, out_h, out_w, dg*K) float32 NHWC mask (sigmoided).
         wexp: (K, dg, 128, cout) slot-tiled weights (etype).
 
     Returns:
-        out: (n, By*r, Bx*bw, cout) float32 NHWC output (caller crops
-            the band padding).
+        out: (n, out_h, out_w, cout) float32 NHWC output.
         inw: (dg, n, By, Bx, K, NC) float32 in-window indicator (1.0
             where the tap's one-hot row is nonzero OR the point is
             band padding). Computing this IN-KERNEL from the kernel's
@@ -274,6 +282,7 @@ def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
     bw_shift = bw.bit_length() - 1
     assert bw == 1 << bw_shift, 'bw must be a power of two'
     assert tab4.shape[3] == g_.tiles_x_pad, 'table must be pre-padded'
+    Coff, Cmsk = dg * 2 * K, dg * K
 
     start_y = jnp.asarray(g_.start_y)
     # tiled-dim starts are 8-aligned by construction; pass them divided
@@ -332,16 +341,43 @@ def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
         iota_x = jax.lax.broadcasted_iota(jnp.int32, (span_tx, NC), 0)
 
         # band-padding points (beyond out_h/out_w): in-window by fiat
-        # so the outlier patch never touches them (their output is
-        # garbage but cropped by the caller)
+        # so the outlier patch never touches them (their output rows
+        # fall outside the array and Pallas masks the store)
         pad_pt = (yo >= out_h) | (xo >= out_w)           # (1, NC)
+
+        # group row extraction = one exact one-hot select-transpose on
+        # the MXU per field: sel[a, c] = (c == gi*nch + a); float32 @
+        # HIGHEST is bit-exact (each output is a sum of exact mantissa
+        # segments of a single element). Replaces the v2 XLA banding
+        # transpose of the whole field.
+        blk_o = off_ref[...].reshape(NC, Coff)
+        blk_m = msk_ref[...].reshape(NC, Cmsk)
+        ia_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 0)
+        ic_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 1)
+        sel_o = (ic_o == gi * (2 * K) + ia_o).astype(jnp.float32)
+        ia_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 0)
+        ic_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 1)
+        sel_m = (ic_m == gi * K + ia_m).astype(jnp.float32)
+        rows_o = jax.lax.dot_general(
+            sel_o, blk_o, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (2K, NC)
+        rows_m = jax.lax.dot_general(
+            sel_m, blk_m, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (K, NC)
+        # edge bands read undefined memory at band-padding points:
+        # zero those rows (select, not multiply — NaN*0 is NaN) so no
+        # NaN from uninitialized memory can reach the selects/dots
+        rows_o = jnp.where(pad_pt, 0.0, rows_o)
+        rows_m = jnp.where(pad_pt, 0.0, rows_m)
 
         acc = jnp.zeros((NC, cout), jnp.float32)
         for k in range(K):
             i, j = divmod(k, g_.kw)
-            dy = off_ref[0, 0, 0, 0, 2 * k, :].reshape(1, NC)
-            dx = off_ref[0, 0, 0, 0, 2 * k + 1, :].reshape(1, NC)
-            m = msk_ref[0, 0, 0, 0, k, :].reshape(1, NC)
+            dy = rows_o[2 * k:2 * k + 1, :]
+            dx = rows_o[2 * k + 1:2 * k + 2, :]
+            m = rows_m[k:k + 1, :]
             cy = posy + i * g_.dilation + dy
             cx = posx + j * g_.dilation + dx
             y0 = jnp.floor(cy)
@@ -376,9 +412,14 @@ def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
             oy = (iota_y == ry).astype(etype)            # (span_y, NC)
             ox = (iota_x == rx).astype(etype)            # (span_tx, NC)
             onehot = (oy[:, None, :] * ox[None, :, :]).reshape(W, NC)
+            # emit the gather in etype: the one-hot selects a single
+            # etype table value per output, so the post-accumulate
+            # cast is EXACT (Mosaic requires a 32-bit matmul
+            # accumulator) and the (128, NC) blend runs at
+            # packed-etype VPU rate
             gT = jax.lax.dot_general(
                 win, onehot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (128, NC)
+                preferred_element_type=jnp.float32).astype(etype)
 
             # Lane-slot expansion via (1, NC) slot-coefficient rows.
             # Nonzero bilinear weights can only land on row-slot 0/1
@@ -390,6 +431,9 @@ def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
             # wheres + two full (128, NC) multiplies per tap — the
             # kernel's dominant VPU cost) collapse to (1, NC) row
             # algebra + 2*PX sublane broadcasts + ONE full multiply.
+            # Coefficients round to etype on the (1, NC) rows — the
+            # same rounding the gather path applies (it computes its
+            # slot coefficients in etype throughout).
             ay0 = wy0 + jnp.where(ry0 == -1, wy1, 0.0)   # row-slot 0
             ay1 = jnp.where(ry0 == 0, wy1, 0.0)          # row-slot 1
             cparts = []
@@ -397,10 +441,10 @@ def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
                 for ps in range(PX):
                     bxp = jnp.where(px0 == ps, wx0, 0.0) + \
                         jnp.where(px0 == ps - 1, wx1, 0.0)
-                    coef = ayr * bxp                     # (1, NC)
+                    coef = (ayr * bxp).astype(etype)     # (1, NC)
                     cparts.append(jnp.broadcast_to(coef, (c_per, NC)))
             cfullT = jnp.concatenate(cparts, axis=0)     # (128, NC)
-            blendT = (gT * cfullT).astype(etype)         # (128, NC)
+            blendT = gT * cfullT                         # (128, NC)
             acc = acc + jax.lax.dot_general(
                 blendT, w_ref[k, 0], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (NC, cout)
@@ -425,11 +469,14 @@ def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1, 2 * K, NC),
-                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+            # NHWC field blocks: the index map ignores g, so the DMA
+            # runs once per band and the block is revisited across the
+            # dg innermost grid steps
+            pl.BlockSpec((1, r, bw, Coff),
+                         lambda n, y, x, g: (n, y, x, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, K, NC),
-                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+            pl.BlockSpec((1, r, bw, Cmsk),
+                         lambda n, y, x, g: (n, y, x, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 1, 128, cout),
                          lambda n, y, x, g: (0, g, 0, 0),
@@ -446,7 +493,7 @@ def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
         ],
         out_shape=[
             jax.ShapeDtypeStruct(
-                (g_.n, By * r, Bx * bw, cout), jnp.float32),
+                (g_.n, out_h, out_w, cout), jnp.float32),
             jax.ShapeDtypeStruct(
                 (dg, g_.n, By, Bx, K, NC), jnp.float32),
         ],
@@ -455,12 +502,12 @@ def band_forward(geom, tab4, off_b, msk_b, wexp, interpret=False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(start_y, start_tx8, off_b, msk_b, wexp, tab4)
+    )(start_y, start_tx8, off, msk, wexp, tab4)
     return out, inw
 
 
 @functools.partial(jax.jit, static_argnames=('geom', 'interpret'))
-def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
+def band_backward(geom, tab4, off, msk, doutp, wexp,
                   interpret=False):
     """Banded DCN backward: table-gradient windows + analytic
     coordinate/mask gradients + weight gradient, all in VMEM.
@@ -477,7 +524,14 @@ def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
       * the coordinate/mask gradient (reference col2im_coord) comes
         from masked sublane reductions of the transposed products;
       * the weight gradient accumulates in a VMEM-resident
-        (K, dg, 128, cout) output block across all grid steps.
+        (K, dg, 128, cout) output block across all grid steps;
+      * offset/mask fields arrive NHWC (one-hot select-transpose per
+        step, as the forward) and the offset/mask GRADIENTS leave NHWC
+        too: the per-tap (1, NC) gradient rows are re-transposed by
+        the same exact one-hot contraction and accumulated across the
+        dg grid steps in the revisited output block — the v2 design's
+        banded-gradient unbanding transpose (another ~500 MB HBM
+        round-trip per L1 call) is gone.
 
     Out-of-window points contribute zero to every output here and are
     patched exactly by `outlier_patch_bwd`.
@@ -486,18 +540,16 @@ def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
         geom: BandGeom.
         tab4: (n, dg, h, tiles_x_pad, 128) tile table (etype),
             pre-padded.
-        off_b: (dg, n, By, Bx, 2K, NC) float32 banded offsets.
-        msk_b: (dg, n, By, Bx, K, NC) float32 banded mask.
-        doutp: (n, By*r, Bx*bw, cout) float32 NHWC output cotangent
-            (band-padded; the (1, r, bw, cout) block -> (NC, cout)
-            merge is a free sublane reshape in-kernel).
+        off: (n, out_h, out_w, dg*2K) float32 NHWC offsets.
+        msk: (n, out_h, out_w, dg*K) float32 NHWC mask.
+        doutp: (n, out_h, out_w, cout) float32 NHWC output cotangent.
         wexp: (K, dg, 128, cout) slot-tiled weights (etype).
 
     Returns:
         wg: (n, By, Bx, dg, span_y, span_tx, 128) float32 per-band
             table-gradient windows (fold at geom.start_y/start_tx).
-        d_off_b: (dg, n, By, Bx, 2K, NC) float32.
-        d_msk_b: (dg, n, By, Bx, K, NC) float32.
+        d_off: (n, out_h, out_w, dg*2K) float32 NHWC.
+        d_msk: (n, out_h, out_w, dg*K) float32 NHWC.
         dwexp: (K, dg, 128, cout) float32.
     """
     TRACE_COUNTS['bwd'] += 1
@@ -514,6 +566,8 @@ def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
     bw_shift = bw.bit_length() - 1
     assert bw == 1 << bw_shift, 'bw must be a power of two'
     assert tab4.shape[3] == g_.tiles_x_pad, 'table must be pre-padded'
+    Coff, Cmsk = dg * 2 * K, dg * K
+    out_h, out_w = g_.out_h, g_.out_w
 
     start_y = jnp.asarray(g_.start_y)
     start_tx8 = jnp.asarray(g_.start_tx // 8)
@@ -556,8 +610,6 @@ def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
 
         copy_for(ni, by, bx, gi, slot).wait()
         win = win_ref[slot].reshape(W, 128)
-        # NHWC (1, r, bw, cout) block -> (NC, cout): free sublane merge
-        dout_e = dout_ref[...].reshape(NC, cout).astype(etype)
 
         pn = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
         yo = by * r + (pn >> bw_shift)
@@ -566,16 +618,50 @@ def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
         posx = (xo * g_.stride - g_.padding).astype(jnp.float32)
         sy_b = sy_ref[by]
         stx_b = stx_ref[bx] * 8
+        pad_pt = (yo >= out_h) | (xo >= out_w)           # (1, NC)
+
+        # NHWC (1, r, bw, cout) block -> (NC, cout): free sublane
+        # merge. Edge bands read undefined rows — select-zero them in
+        # point-on-sublane orientation before anything contracts over
+        # the NC dim (a NaN there would poison wg/dwexp globally).
+        pn_s = jax.lax.broadcasted_iota(jnp.int32, (NC, 1), 0)
+        pad_s = (((by * r + (pn_s >> bw_shift)) >= out_h) |
+                 ((bx * bw + (pn_s & (bw - 1))) >= out_w))
+        dout_e = jnp.where(pad_s, 0,
+                           dout_ref[...].reshape(NC, cout)).astype(etype)
 
         iota_y = jax.lax.broadcasted_iota(jnp.int32, (span_y, NC), 0)
         iota_x = jax.lax.broadcasted_iota(jnp.int32, (span_tx, NC), 0)
 
+        # group row extraction: exact one-hot select-transpose (see
+        # band_forward)
+        blk_o = off_ref[...].reshape(NC, Coff)
+        blk_m = msk_ref[...].reshape(NC, Cmsk)
+        ia_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 0)
+        ic_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 1)
+        sel_o = (ic_o == gi * (2 * K) + ia_o).astype(jnp.float32)
+        ia_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 0)
+        ic_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 1)
+        sel_m = (ic_m == gi * K + ia_m).astype(jnp.float32)
+        rows_o = jax.lax.dot_general(
+            sel_o, blk_o, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (2K, NC)
+        rows_m = jax.lax.dot_general(
+            sel_m, blk_m, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (K, NC)
+        rows_o = jnp.where(pad_pt, 0.0, rows_o)
+        rows_m = jnp.where(pad_pt, 0.0, rows_m)
+
+        doff_rows = []
+        dmsk_rows = []
         wg_acc = jnp.zeros((W, 128), jnp.float32)
         for k in range(K):
             i, j = divmod(k, g_.kw)
-            dy = off_ref[0, 0, 0, 0, 2 * k, :].reshape(1, NC)
-            dx = off_ref[0, 0, 0, 0, 2 * k + 1, :].reshape(1, NC)
-            m = msk_ref[0, 0, 0, 0, k, :].reshape(1, NC)
+            dy = rows_o[2 * k:2 * k + 1, :]
+            dx = rows_o[2 * k + 1:2 * k + 2, :]
+            m = rows_m[k:k + 1, :]
             cy = posy + i * g_.dilation + dy
             cx = posx + j * g_.dilation + dx
             y0 = jnp.floor(cy)
@@ -672,24 +758,52 @@ def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
             d_dy = (-dwy0 * vy0 + dwy1 * vy1) * m
             d_dx = -dwx0 * vx0 + dwx1 * vx1
             d_m = dwy0 * (1 - fy) * vy0 + dwy1 * fy * vy1
-            doff_ref[0, 0, 0, 0, pl.ds(2 * k, 1), :] = d_dy
-            doff_ref[0, 0, 0, 0, pl.ds(2 * k + 1, 1), :] = d_dx
-            dmsk_ref[0, 0, 0, 0, pl.ds(k, 1), :] = d_m
+            doff_rows.append(d_dy)
+            doff_rows.append(d_dx)
+            dmsk_rows.append(d_m)
 
         wg_ref[...] = wg_acc.reshape(1, 1, 1, 1, span_y, span_tx, 128)
 
+        # NHWC gradient emission: re-transpose the (nch, NC) gradient
+        # rows back to (NC, nch) channel-minor blocks with the same
+        # exact one-hot contraction (sel also places the group's
+        # channels), and accumulate across the dg grid steps in the
+        # revisited output block
+        drows_o = jnp.concatenate(doff_rows, axis=0)     # (2K, NC)
+        drows_m = jnp.concatenate(dmsk_rows, axis=0)     # (K, NC)
+        dblk_o = jax.lax.dot_general(
+            drows_o, sel_o, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (NC, Coff)
+        dblk_m = jax.lax.dot_general(
+            drows_m, sel_m, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (NC, Cmsk)
+        dblk_o = dblk_o.reshape(1, r, bw, Coff)
+        dblk_m = dblk_m.reshape(1, r, bw, Cmsk)
+
+        @pl.when(gi == 0)
+        def _init_doff():
+            doff_ref[...] = dblk_o
+            dmsk_ref[...] = dblk_m
+
+        @pl.when(gi != 0)
+        def _acc_doff():
+            doff_ref[...] = doff_ref[...] + dblk_o
+            dmsk_ref[...] = dmsk_ref[...] + dblk_m
+
     grid = (g_.n, By, Bx, dg)
-    wg, d_off_b, d_msk_b, dwexp = pl.pallas_call(
+    wg, d_off, d_msk, dwexp = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 1, 2 * K, NC),
-                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+            pl.BlockSpec((1, r, bw, Coff),
+                         lambda n, y, x, g: (n, y, x, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, K, NC),
-                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+            pl.BlockSpec((1, r, bw, Cmsk),
+                         lambda n, y, x, g: (n, y, x, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r, bw, cout),
                          lambda n, y, x, g: (n, y, x, 0),
@@ -703,11 +817,11 @@ def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
             pl.BlockSpec((1, 1, 1, 1, span_y, span_tx, 128),
                          lambda n, y, x, g: (n, y, x, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, 2 * K, NC),
-                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+            pl.BlockSpec((1, r, bw, Coff),
+                         lambda n, y, x, g: (n, y, x, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, K, NC),
-                         lambda n, y, x, g: (g, n, y, x, 0, 0),
+            pl.BlockSpec((1, r, bw, Cmsk),
+                         lambda n, y, x, g: (n, y, x, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, dg, 128, cout),
                          lambda n, y, x, g: (0, 0, 0, 0),
@@ -717,9 +831,9 @@ def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
             jax.ShapeDtypeStruct(
                 (g_.n, By, Bx, dg, span_y, span_tx, 128), jnp.float32),
             jax.ShapeDtypeStruct(
-                (dg, g_.n, By, Bx, 2 * K, NC), jnp.float32),
+                (g_.n, out_h, out_w, Coff), jnp.float32),
             jax.ShapeDtypeStruct(
-                (dg, g_.n, By, Bx, K, NC), jnp.float32),
+                (g_.n, out_h, out_w, Cmsk), jnp.float32),
             jax.ShapeDtypeStruct((K, dg, 128, cout), jnp.float32),
         ],
         scratch_shapes=[
@@ -727,8 +841,8 @@ def band_backward(geom, tab4, off_b, msk_b, doutp, wexp,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(start_y, start_tx8, off_b, msk_b, doutp, wexp, tab4)
-    return wg, d_off_b, d_msk_b, dwexp
+    )(start_y, start_tx8, off, msk, doutp, wexp, tab4)
+    return wg, d_off, d_msk, dwexp
 
 
 def fold_windows(geom, wg, tab_shape):
@@ -792,21 +906,20 @@ def outlier_patch_bwd(geom, grads, tab, off, msk, inw, doutp, wexp,
             float32 NHWC fields.
         inw: (dg, n, By, Bx, K, NC) float32 in-window indicator
             (second `band_forward` output).
-        doutp: (n, Hp, Wp, cout) float32 band-padded NHWC cotangent.
+        doutp: (n, out_h, out_w, cout) float32 NHWC cotangent.
     Returns:
         patched (dtab_flat, d_off, d_msk, dwexp).
     """
     g_ = geom
     K = g_.K
     PX = g_.SX + 1
-    Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
     Mtot = inw.size
     flat_mask = inw.reshape(Mtot) < 0.5
     n_out = jnp.sum(flat_mask)
     # leading-dim merges only (layout-free); see outlier_patch
     off2 = off.reshape(-1, off.shape[-1])
     msk2 = msk.reshape(-1, msk.shape[-1])
-    dout_flat = doutp.reshape(-1, g_.cout)     # padded NHWC pixels
+    dout_flat = doutp.reshape(-1, g_.cout)     # NHWC pixels, flat
     slot_r = jnp.arange(2, dtype=jnp.int32)[None, :, None]
     slot_p = jnp.arange(PX, dtype=jnp.int32)[None, None, :]
 
@@ -845,7 +958,7 @@ def outlier_patch_bwd(geom, grads, tab, off, msk, inw, doutp, wexp,
         cf = jnp.repeat((wy_sel * wx_sel).reshape(cap, -1),
                         g_.c_per, axis=1)                # (cap, 128)
 
-        dout_e = (dout_flat[(img_e * Hp + y_e) * Wp + x_e] *
+        dout_e = (dout_flat[pix] *
                   valid[:, None].astype(jnp.float32))    # (cap, cout)
         G = jnp.take(tab, rows_e, axis=0).astype(jnp.float32)
         # per-stream weights via masked matmuls (as the forward patch)
@@ -916,19 +1029,18 @@ def outlier_patch(geom, out_flat, tab, off, msk, inw, wexp, etype, cap):
     and pushed EDVR train-step compiles past 25 minutes).
 
     Args:
-        out_flat: (n*Hp*Wp, cout) float32 band-padded NHWC kernel
-            output, flat over pixels.
+        out_flat: (n*out_h*out_w, cout) float32 NHWC kernel output,
+            flat over pixels.
         off, msk: (n, out_h, out_w, dg*2K) / (n, out_h, out_w, dg*K)
             float32 NHWC fields.
         inw: (dg, n, By, Bx, K, NC) float32 in-window indicator
             (second `band_forward` output).
     Returns:
-        patched (n*Hp*Wp, cout) float32.
+        patched (n*out_h*out_w, cout) float32.
     """
     g_ = geom
     K = g_.K
     cout = g_.cout
-    Hp, Wp = g_.By * g_.r, g_.Bx * g_.bw
     Mtot = inw.size
     flat_mask = inw.reshape(Mtot) < 0.5
     n_out = jnp.sum(flat_mask)
@@ -988,7 +1100,7 @@ def outlier_patch(geom, out_flat, tab, off, msk, inw, wexp, etype, cap):
         # invalid slots scatter a zero contribution (blend carries the
         # `valid` factor) at index 0 — no sentinel-row concat/slice,
         # which copied the full output twice even with zero outliers
-        fb = jnp.where(valid, (img_e * Hp + y_e) * Wp + x_e, 0)
+        fb = jnp.where(valid, pix, 0)
         return out_flat2.at[fb].add(contrib), i + 1
 
     out_flat, _ = jax.lax.while_loop(

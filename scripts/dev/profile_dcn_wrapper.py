@@ -11,9 +11,8 @@ Pieces timed per geometry (all jitted separately, host-synced by
 pulling a scalar per call, fixed sync overhead subtracted):
 
   full       modulated_deform_conv, band path (the production call)
-  kernel     band_forward alone on pre-banded inputs
-  band_off   band_field(offsets) + band_field(mask) (the 254 MB-class
-             banding transposes)
+  kernel     band_forward alone on NHWC fields (in-kernel one-hot
+             select-transpose replaced the old banding transposes)
   table      packed tile-table build (gather + stack + transpose)
   patch      outlier_patch on the kernel outputs (zero outliers, the
              common case)
@@ -119,12 +118,6 @@ def main():
             return tab4.transpose(0, 5, 1, 3, 2, 4, 6).reshape(
                 n, dg, h, txp, lanes)
 
-        def band_fields(off, msk):
-            off_f = off.astype(jnp.float32)
-            msk_f = msk.astype(jnp.float32)
-            return (dcn_band.band_field(geom, off_f, 2 * K),
-                    dcn_band.band_field(geom, msk_f, K))
-
         def build_wexp(weight):
             wk = weight.reshape(K, cin, cout)
             wexp = wk.reshape(K, dg, c_per, cout)
@@ -133,18 +126,16 @@ def main():
                 K, dg, lanes, cout).astype(etype)
 
         tab4 = jax.jit(build_table)(x)
-        off_b, msk_b = jax.jit(band_fields)(off, msk)
         wexp = jax.jit(build_wexp)(wgt)
-        jax_block((tab4, off_b, msk_b, wexp))
+        jax_block((tab4, wexp))
 
         t_table = timed(jax.jit(build_table), (x,), overhead)
-        t_bandf = timed(jax.jit(band_fields), (off, msk), overhead)
 
         kern = jax.jit(lambda t, o, m, w_: dcn_band.band_forward(
             geom, t, o, m, w_))
-        t_kernel = timed(kern, (tab4, off_b, msk_b, wexp), overhead)
+        t_kernel = timed(kern, (tab4, off, msk, wexp), overhead)
 
-        outp, inw = kern(tab4, off_b, msk_b, wexp)
+        outp, inw = kern(tab4, off, msk, wexp)
         jax_block((outp, inw))
         cap = max(1024, inw.size // 64)
 
@@ -159,10 +150,9 @@ def main():
         t_patch = timed(jax.jit(patch),
                         (outp, inw, tab4, off, msk, wexp), overhead)
 
-        pieces = t_table + t_bandf + t_kernel + t_patch
+        pieces = t_table + t_kernel + t_patch
         print(f'{lev} (n={n}, {h}x{w}): full {t_full * 1e3:7.2f} ms | '
               f'kernel {t_kernel * 1e3:6.2f} | table {t_table * 1e3:6.2f} | '
-              f'band_fields {t_bandf * 1e3:6.2f} | '
               f'patch {t_patch * 1e3:6.2f} | pieces-sum {pieces * 1e3:6.2f} '
               f'| unattributed {(t_full - pieces) * 1e3:6.2f}')
 
