@@ -395,7 +395,8 @@ def clip_window_indices(num_frames_clip: int, num_frame: int,
     ], dtype=np.int32)
 
 
-def make_clip_restore_fn(model: EDVR, win_batch: int = 4):
+def make_clip_restore_fn(model: EDVR, win_batch: int = 4,
+                         store_dtype=None):
     """Jitted whole-clip EDVR evaluation.
 
     Returns ``fn(params, clip, idx) -> (T, 4h, 4w, c)`` where clip is
@@ -406,12 +407,26 @@ def make_clip_restore_fn(model: EDVR, win_batch: int = 4):
     are restored ``win_batch`` at a time under one ``lax.scan`` — one
     device dispatch for the whole clip, with the window batch sized for
     MXU/DCN-kernel utilization.
+
+    store_dtype: dtype of the RESIDENT clip pyramid. Default follows
+    the DCN precision policy (edvr_tpu/ops/dcn.py): bf16 under the
+    TPU-default matmul precision — the same rounding every conv/DCN
+    already applies to its inputs on the MXU, halving both the
+    pyramid's HBM residency (~1.9 GB f32 at 100x(180,320)) and the
+    per-scan-step window-gather traffic — f32 when f32/highest
+    precision is pinned (parity tests, strict eval).
     """
+    if store_dtype is None:
+        prec = jax.config.jax_default_matmul_precision
+        fast = prec in (None, 'default', 'fastest', 'bfloat16',
+                        'tensorfloat32')
+        store_dtype = jnp.bfloat16 if fast else jnp.float32
 
     @functools.partial(jax.jit, static_argnums=())
     def fn(params, clip, idx):
         T = clip.shape[0]
         pyr = model.apply(params, clip, method=EDVR.extract_pyramid)
+        pyr = tuple(f.astype(store_dtype) for f in pyr)
 
         n_steps = -(-T // win_batch)
         pad = n_steps * win_batch - T

@@ -41,6 +41,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# trace-time dispatch counters (per modulated_deform_conv call):
+# unlike dcn_band.TRACE_COUNTS — which only ticks when a band kernel
+# BODY traces, so jit caching hides repeat geometries — these count
+# every dispatch DECISION, letting tests assert the band/gather policy
+# at a model's full set of DCN call sites (see
+# tests/test_dcn_band.py::test_flagship_dispatch_band_paths)
+DISPATCH_COUNTS = {'band': 0, 'gather': 0}
+
 
 def _col2im_add(rows, upd, nrows, out_dtype, span_rows):
     """Exact scatter-add of gathered-row gradients into the tile table.
@@ -624,15 +632,20 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
             bw=int(os.environ.get('EDVR_TPU_DCN_BAND_BW', '64')),
             J=int(os.environ.get('EDVR_TPU_DCN_BAND_J', '2')),
             w_pix=w)
-        # 4096 admits the canonical 64px train crops — with the
-        # band BACKWARD kernel the train step drops 356 -> 128 ms
-        # (the 17 GB/s dG scatter disappears); inference L1/L2 band
-        # as before. Below 4096 the gather path stays (and odd crop
-        # widths fall back automatically via the bw-power-of-2 rule).
+        # MEASURED dispatch policy (scripts/dev/measure_band_dispatch,
+        # table in docs/TPUDesign.md): 4096 admits every geometry
+        # where the band kernel wins on v5e — L1/L2 inference (3.9x /
+        # 1.9x) and the canonical 64px train crops (3.6x fwd; the
+        # band backward also deletes the 17 GB/s dG scatter, train
+        # step 356 -> 128 ms) — and keeps the gather path where it
+        # measured FASTER: L3 inference (45x80, P=3600: 0.4 vs 3.7 ms
+        # — 480 band grid steps of fixed cost lose to a tiny gather).
+        # Odd crop widths also fall back via the bw-power-of-2 rule.
         min_p = int(os.environ.get('EDVR_TPU_DCN_BAND_MIN_P', '4096'))
         if not bgeom.eligible() or out_h * out_w < min_p:
             bgeom = None
     use_band = bgeom is not None
+    DISPATCH_COUNTS['band' if use_band else 'gather'] += 1
 
     if use_band:
         # the banded Pallas kernel consumes the offset/mask fields in

@@ -1,6 +1,12 @@
 """Time whole-clip EDVR-M evaluation on the TPU (dev tool).
 
 Usage: python scripts/dev/time_clip_mode.py [T] [win_batch ...]
+
+win_batch 0 times the PER-WINDOW protocol instead (the reference's
+evaluation unit: one (1, 5, h, w, 3) forward per output frame,
+re-extracting every pyramid 5x), batched T windows at a time through
+the same sync discipline, so the clip-vs-window comparison is
+apples-to-apples (same inputs, same precision, same timing method).
 """
 
 import os.path as osp
@@ -39,19 +45,44 @@ def main():
         for _ in range(5))
 
     for wb in batches:
-        fn = make_clip_restore_fn(model, win_batch=wb)
-        run = jax.jit(lambda p, c, i: fn(p, c, i).mean())
-        t0 = time.time()
-        float(run(params, clips[0], idx))
-        print(f'win_batch={wb}: compile+first {time.time() - t0:.1f}s')
-        times = []
-        for c in clips:
+        if wb == 0:
+            # per-window protocol: one (1, 5, h, w, 3) forward per
+            # output frame, full pyramid re-extraction per window
+            win_fwd = jax.jit(lambda p, x: model.apply(p, x).mean())
+            label = 'per-window'
+
+            def run(p, c, i, _f=win_fwd):
+                acc = 0.0
+                for t in range(T):
+                    acc += float(_f(p, c[i[t]][None]))
+                return acc
+
             t0 = time.time()
-            float(run(params, c, idx))
-            times.append(time.time() - t0)
-        best = min(times) - overhead
-        print(f'win_batch={wb}: {best * 1e3:.1f} ms/clip '
-              f'({T / best:.2f} frames/sec)')
+            run(params, clips[0], idx)
+            print(f'{label}: compile+first {time.time() - t0:.1f}s',
+                  flush=True)
+            times = []
+            for c in clips:
+                t0 = time.time()
+                run(params, c, idx)
+                # each of the T calls pays one host sync round-trip
+                times.append(time.time() - t0 - overhead * T)
+        else:
+            fn = make_clip_restore_fn(model, win_batch=wb)
+            run = jax.jit(lambda p, c, i: fn(p, c, i).mean())
+            label = f'win_batch={wb}'
+            t0 = time.time()
+            float(run(params, clips[0], idx))
+            print(f'{label}: compile+first {time.time() - t0:.1f}s',
+                  flush=True)
+            times = []
+            for c in clips:
+                t0 = time.time()
+                float(run(params, c, idx))
+                times.append(time.time() - t0 - overhead)
+        best = min(times)
+        print(f'{label}: {best * 1e3:.1f} ms/clip '
+              f'({T / best:.2f} frames/sec)', flush=True)
 
 
 if __name__ == '__main__':

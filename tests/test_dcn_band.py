@@ -110,6 +110,45 @@ def test_band_matches_gather_at_edvr_l3_geometry():
                                np.asarray(ref) / scale, atol=2e-6)
 
 
+def test_flagship_dispatch_band_paths():
+    """At the flagship EDVR-M inference shape, the DEFAULT dispatch
+    policy must route exactly the measured-optimal set of PCD levels
+    through the band kernel: L1 (x2: PCD + cascade) and L2 banded,
+    L3 on the gather path (measured FASTER there, 0.4 vs 3.7 ms —
+    docs/TPUDesign.md "Measured dispatch policy"). Traced (not
+    executed) via eval_shape, so it pins the policy, not the math;
+    dcn.DISPATCH_COUNTS makes every dispatch DECISION observable —
+    dcn_band.TRACE_COUNTS cannot serve here, since jit caching hides
+    repeat geometries (a silent fallback once made a whole parity
+    file vacuous)."""
+    from edvr_tpu.archs.edvr_arch import EDVR
+
+    env = {'EDVR_TPU_DCN_BAND': '1', 'EDVR_TPU_DCN_BAND_INTERPRET': '1'}
+    saved = {k: os.environ.get(k) for k in env}
+    saved['EDVR_TPU_DCN_BAND_MIN_P'] = os.environ.pop(
+        'EDVR_TPU_DCN_BAND_MIN_P', None)   # the DEFAULT policy
+    os.environ.update(env)
+    try:
+        net = EDVR(num_in_ch=3, num_out_ch=3, num_feat=64, num_frame=5,
+                   deformable_groups=8, num_extract_block=5,
+                   num_reconstruct_block=10, center_frame_idx=2,
+                   with_tsa=True)
+        x = jnp.zeros((1, 5, 180, 320, 3))
+        before = dict(dcn.DISPATCH_COUNTS)
+        jax.eval_shape(net.init, jax.random.PRNGKey(0), x)
+        banded = dcn.DISPATCH_COUNTS['band'] - before['band']
+        gathered = dcn.DISPATCH_COUNTS['gather'] - before['gather']
+        # 4 DCN calls per forward: L2, L1, cascade-L1 banded; L3
+        # (45x80) stays on the gather path by the measured policy
+        assert (banded, gathered) == (3, 1), (banded, gathered)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def test_band_gate_excludes_small_problems():
     # without the MIN_P override a 32x64 problem stays on the gather
     # path (no Pallas call on CPU); just probe it doesn't crash
