@@ -5,12 +5,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Protocol: EDVR-M (64 feat, 5 frames, TSA) restores a 100-frame
 (180, 320, 3) clip -> 100 720x1280 frames, the REDS4 evaluation unit
 (the reference evaluates whole clips, docs/ModelZoo.md:82-85). The
-whole-clip path computes each frame's L1/L2/L3 feature pyramid ONCE and
-batches sliding windows through PCD/TSA/reconstruction under one
-lax.scan (edvr_tpu/archs/edvr_arch.py::make_clip_restore_fn) — the
-reference's per-window protocol re-extracts every pyramid num_frame
-times (reference: basicsr/models/archs/edvr_arch.py:376-388). Parity
-with the per-window forward is asserted in tests/test_edvr_clip.py.
+whole clip runs as ONE device dispatch: a lax.scan over sliding
+windows of raw frames through the standard forward
+(edvr_tpu/archs/edvr_arch.py::make_clip_restore_fn, mode='window').
+Parity with the per-window forward is asserted in
+tests/test_edvr_clip.py.
 
 Timing is host-synchronized per call (a scalar reduction is pulled to
 the host each iteration) because this environment's async dispatch
@@ -22,14 +21,16 @@ frames/sec/chip; we assume EDVR-M PyTorch on A100 ~= 25 fps at this
 shape (paper-era TITAN Xp was ~10 fps), so baseline = 125 fps and
 vs_baseline = fps / 125.
 
-Env: EDVR_TPU_BENCH_WIN_BATCH (default 4) — windows restored per scan
-step; EDVR_TPU_BENCH_FRAMES (default 100). In f32 the restore stage
-runs PCD at an effective batch of win_batch*5 full-resolution frames:
-each live L1-shaped intermediate is a (win_batch*5, 180, 320, 64) f32
-array ≈ 73.7 MB per window (≈590 MB per scan step at win_batch=8), and
-several are live at once on top of the resident clip pyramid — which
-is why win_batch=8 exhausted 16 GB HBM before the pyramid and scan
-intermediates moved to bf16.
+Env: EDVR_TPU_BENCH_WIN_BATCH (default 1) — windows restored per scan
+step; EDVR_TPU_BENCH_FRAMES (default 100). win_batch=1 is the
+MEASURED-fastest configuration (v5e sweep, docs/TPUDesign.md "Clip
+evaluation"): per-window cost RISES with window batch (113.9 ms at
+wb=1 -> 158 ms at wb=8) because the graph outside the DCN kernels is
+HBM-bound — each extra window in flight adds (win_batch*5, 180, 320,
+64)-shaped live intermediates (~73.7 MB each in f32) whose traffic
+costs more than the saved per-step scheduling; the resident-pyramid
+formulation (mode='pyramid', bf16 storage) measured slower at every
+win_batch (best 8.64 vs 8.78 fps).
 """
 
 import json
@@ -49,7 +50,7 @@ def main():
                                           make_clip_restore_fn)
 
     T = int(os.environ.get('EDVR_TPU_BENCH_FRAMES', '100'))
-    win_batch = int(os.environ.get('EDVR_TPU_BENCH_WIN_BATCH', '4'))
+    win_batch = int(os.environ.get('EDVR_TPU_BENCH_WIN_BATCH', '1'))
 
     net = EDVR(num_in_ch=3, num_out_ch=3, num_feat=64, num_frame=5,
                deformable_groups=8, num_extract_block=5,

@@ -396,37 +396,63 @@ def clip_window_indices(num_frames_clip: int, num_frame: int,
 
 
 def make_clip_restore_fn(model: EDVR, win_batch: int = 4,
-                         store_dtype=None):
+                         store_dtype=None, mode: str = 'window'):
     """Jitted whole-clip EDVR evaluation.
 
     Returns ``fn(params, clip, idx) -> (T, 4h, 4w, c)`` where clip is
     (T, h, w, c) and idx is the (T, t) int32 window table from
-    :func:`clip_window_indices`. The clip's L1/L2/L3 feature pyramid is
-    computed ONCE (the reference's per-window protocol recomputes each
-    frame's pyramid num_frame times, edvr_arch.py:376-388), then windows
-    are restored ``win_batch`` at a time under one ``lax.scan`` — one
-    device dispatch for the whole clip, with the window batch sized for
-    MXU/DCN-kernel utilization.
+    :func:`clip_window_indices`. Windows are restored ``win_batch`` at
+    a time under one ``lax.scan`` — one device dispatch for the whole
+    clip, with the window batch sized for MXU/DCN-kernel utilization.
 
-    store_dtype: dtype of the RESIDENT clip pyramid. Default follows
-    the DCN precision policy (edvr_tpu/ops/dcn.py): bf16 under the
-    TPU-default matmul precision — the same rounding every conv/DCN
-    already applies to its inputs on the MXU, halving both the
-    pyramid's HBM residency (~1.9 GB f32 at 100x(180,320)) and the
-    per-scan-step window-gather traffic — f32 when f32/highest
-    precision is pinned (parity tests, strict eval).
+    mode selects the per-step formulation (both measured on v5e at the
+    flagship 100x(180,320) shape — table in docs/TPUDesign.md "Clip
+    evaluation"):
+
+    * ``'window'`` (default): each step gathers ``win_batch`` windows
+      of RAW frames (cheap: (t,h,w,3) rows) and runs the standard
+      forward. Re-extracts each frame's pyramid per window exactly
+      like the reference protocol (edvr_arch.py:376-388), but
+      extraction is only ~10% of the model. Measured fastest at
+      win_batch=1: 8.78 fps vs 8.11 host-dispatched per-window and
+      8.64 for the best pyramid config.
+    * ``'pyramid'``: compute the clip's L1/L2/L3 pyramid ONCE and
+      gather windows of FEATURES per step. Does strictly less MXU
+      work, but the 64-channel feature window gathers (~48 MB/window)
+      cost about what the saved extraction does — measured slower at
+      every win_batch (best 8.64 fps at win_batch=1), kept for the
+      trade study.
+
+    In BOTH modes per-window cost RISES with win_batch (window mode:
+    113.9 ms/window at wb=1 -> 158 at wb=8): the graph outside the DCN
+    kernels is HBM-bound, and each extra in-flight window adds ~74 MB
+    f32 L1-shaped live intermediates whose traffic outweighs the saved
+    scheduling. Full sweep: docs/TPUDesign.md "Clip evaluation".
+
+    store_dtype: dtype of the RESIDENT clip pyramid (pyramid mode
+    only). Default follows the DCN precision policy
+    (edvr_tpu/ops/dcn.py): bf16 under the TPU-default matmul precision
+    — the same rounding every conv/DCN already applies to its inputs
+    on the MXU, halving both the pyramid's HBM residency (~1.9 GB f32
+    at 100x(180,320)) and the per-scan-step window-gather traffic —
+    f32 when f32/highest precision is pinned (parity tests, strict
+    eval).
     """
     if store_dtype is None:
         prec = jax.config.jax_default_matmul_precision
         fast = prec in (None, 'default', 'fastest', 'bfloat16',
                         'tensorfloat32')
         store_dtype = jnp.bfloat16 if fast else jnp.float32
+    if mode not in ('window', 'pyramid'):
+        raise ValueError(f'unknown clip mode {mode!r}')
 
     @functools.partial(jax.jit, static_argnums=())
     def fn(params, clip, idx):
         T = clip.shape[0]
-        pyr = model.apply(params, clip, method=EDVR.extract_pyramid)
-        pyr = tuple(f.astype(store_dtype) for f in pyr)
+        t = idx.shape[1]
+        if mode == 'pyramid':
+            pyr = model.apply(params, clip, method=EDVR.extract_pyramid)
+            pyr = tuple(f.astype(store_dtype) for f in pyr)
 
         n_steps = -(-T // win_batch)
         pad = n_steps * win_batch - T
@@ -436,8 +462,13 @@ def make_clip_restore_fn(model: EDVR, win_batch: int = 4,
         idx_steps = idx_pad.reshape(n_steps, win_batch, -1)
 
         def body(_, idx_b):
-            out = model.apply(params, pyr, clip, idx_b,
-                              method=EDVR.restore_windows)
+            if mode == 'pyramid':
+                out = model.apply(params, pyr, clip, idx_b,
+                                  method=EDVR.restore_windows)
+            else:
+                wins = jnp.take(clip, idx_b.reshape(-1), axis=0)
+                wins = wins.reshape(win_batch, t, *clip.shape[1:])
+                out = model.apply(params, wins)
             return _, out
 
         _, outs = jax.lax.scan(body, None, idx_steps)

@@ -161,7 +161,10 @@ class VideoBaseModel(SRModel):
         with_metrics = self._init_metric_tables(dataset)
         rank, world_size = get_dist_info()
 
-        win_batch = int(self.opt['val'].get('clip_win_batch', 4))
+        # measured-fastest default on v5e: one window per scan step —
+        # throughput DROPS with window batch (clip sweep table in
+        # docs/TPUDesign.md "Clip evaluation")
+        win_batch = int(self.opt['val'].get('clip_win_batch', 1))
         if not hasattr(self, '_clip_fns'):
             self._clip_fns = {}
         fn = self._clip_fns.get(win_batch)

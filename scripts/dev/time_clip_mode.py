@@ -1,12 +1,17 @@
 """Time whole-clip EDVR-M evaluation on the TPU (dev tool).
 
-Usage: python scripts/dev/time_clip_mode.py [T] [win_batch ...]
+Usage: python scripts/dev/time_clip_mode.py [T] [spec ...]
 
-win_batch 0 times the PER-WINDOW protocol instead (the reference's
-evaluation unit: one (1, 5, h, w, 3) forward per output frame,
-re-extracting every pyramid 5x), batched T windows at a time through
-the same sync discipline, so the clip-vs-window comparison is
-apples-to-apples (same inputs, same precision, same timing method).
+Each spec times one configuration:
+  N    window mode, win_batch N — scan over batches of N raw-frame
+       windows through the standard forward (the shipped bench path)
+  pN   pyramid mode, win_batch N — resident clip pyramid + per-step
+       feature-window gathers (the trade-study alternative)
+  0    the PER-WINDOW protocol (the reference's evaluation unit: one
+       (1, 5, h, w, 3) host-dispatched forward per output frame),
+       through the same sync discipline, so every comparison is
+       apples-to-apples (same inputs, same precision, same timing
+       method).
 """
 
 import os.path as osp
@@ -26,7 +31,7 @@ def main():
                                           make_clip_restore_fn)
 
     T = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    batches = [int(a) for a in sys.argv[2:]] or [4]
+    specs = sys.argv[2:] or ['4']
 
     model = EDVR(num_feat=64, num_frame=5, deformable_groups=8,
                  num_extract_block=5, num_reconstruct_block=10,
@@ -44,7 +49,9 @@ def main():
         (lambda t0: (float(tiny(ones)), time.time() - t0)[1])(time.time())
         for _ in range(5))
 
-    for wb in batches:
+    for spec in specs:
+        mode = 'pyramid' if spec.startswith('p') else 'window'
+        wb = int(spec.lstrip('p'))
         if wb == 0:
             # per-window protocol: one (1, 5, h, w, 3) forward per
             # output frame, full pyramid re-extraction per window
@@ -68,9 +75,9 @@ def main():
                 # each of the T calls pays one host sync round-trip
                 times.append(time.time() - t0 - overhead * T)
         else:
-            fn = make_clip_restore_fn(model, win_batch=wb)
+            fn = make_clip_restore_fn(model, win_batch=wb, mode=mode)
             run = jax.jit(lambda p, c, i: fn(p, c, i).mean())
-            label = f'win_batch={wb}'
+            label = f'{mode} win_batch={wb}'
             t0 = time.time()
             float(run(params, clips[0], idx))
             print(f'{label}: compile+first {time.time() - t0:.1f}s',

@@ -1,10 +1,13 @@
 """Clip-mode EDVR evaluation must match the per-window forward.
 
 The clip path (edvr_tpu/archs/edvr_arch.py::make_clip_restore_fn)
-computes each frame's feature pyramid once and batches windows through
-PCD/TSA/reconstruction; the reference protocol evaluates one window per
-output frame (reference: basicsr/models/archs/edvr_arch.py:376-388 is
-recomputed per window). Both must produce the same frames.
+batches sliding windows through one scanned dispatch in either of two
+formulations — 'window' (raw-frame windows through the standard
+forward, the shipped default) or 'pyramid' (clip pyramid extracted
+once, feature windows gathered per step); the reference protocol
+evaluates one window per output frame (reference:
+basicsr/models/archs/edvr_arch.py:376-388 is recomputed per window).
+All must produce the same frames.
 """
 
 import jax
@@ -27,7 +30,8 @@ def _build(num_frame=5, **kw):
 
 @pytest.mark.parametrize('padding', ['reflection_circle', 'replicate'])
 @pytest.mark.parametrize('win_batch', [1, 4])
-def test_clip_matches_window_forward(padding, win_batch):
+@pytest.mark.parametrize('mode', ['window', 'pyramid'])
+def test_clip_matches_window_forward(padding, win_batch, mode):
     T, t = 7, 5
     model, params = _build(num_frame=t)
     rng = np.random.RandomState(1)
@@ -38,7 +42,7 @@ def test_clip_matches_window_forward(padding, win_batch):
     # the output frame always sits at the window center
     np.testing.assert_array_equal(idx[:, t // 2], np.arange(T))
 
-    clip_fn = make_clip_restore_fn(model, win_batch=win_batch)
+    clip_fn = make_clip_restore_fn(model, win_batch=win_batch, mode=mode)
     got = np.asarray(clip_fn(params, clip, jnp.asarray(idx)))
     assert got.shape == (T, 64, 64, 3)
 
@@ -68,8 +72,10 @@ def test_clip_matches_window_forward_predeblur_hr_in():
     rng = np.random.RandomState(3)
     clip = jnp.asarray(rng.rand(T, 32, 32, 3), jnp.float32)
     idx = clip_window_indices(T, t, 'replicate')
-    got = np.asarray(make_clip_restore_fn(model, 3)(params, clip,
-                                                    jnp.asarray(idx)))
+    # pyramid mode pinned: restore_windows routes x_center and features
+    # through different resolutions here — the trickier formulation
+    got = np.asarray(make_clip_restore_fn(model, 3, mode='pyramid')(
+        params, clip, jnp.asarray(idx)))
     fwd = jax.jit(model.apply)
     for i in range(T):
         want = np.asarray(fwd(params, clip[idx[i]][None]))[0]
