@@ -1,6 +1,8 @@
-"""Time whole-clip EDVR-M evaluation on the TPU (dev tool).
+"""Time whole-clip EDVR evaluation on the TPU (dev tool).
 
 Usage: python scripts/dev/time_clip_mode.py [T] [spec ...]
+Env: EDVR_TPU_CLIP_CONFIG=edvr_m|edvr_l selects the variant
+     (EDVR-L: 128 feat, 40 recon blocks).
 
 Each spec times one configuration:
   N    window mode, win_batch N — scan over batches of N raw-frame
@@ -33,9 +35,12 @@ def main():
     T = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     specs = sys.argv[2:] or ['4']
 
-    model = EDVR(num_feat=64, num_frame=5, deformable_groups=8,
-                 num_extract_block=5, num_reconstruct_block=10,
-                 center_frame_idx=2)
+    import os
+    cfgs = {'edvr_m': dict(num_feat=64, num_reconstruct_block=10),
+            'edvr_l': dict(num_feat=128, num_reconstruct_block=40)}
+    cfg = cfgs[os.environ.get('EDVR_TPU_CLIP_CONFIG', 'edvr_m')]
+    model = EDVR(num_frame=5, deformable_groups=8,
+                 num_extract_block=5, center_frame_idx=2, **cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)))
     rng = np.random.RandomState(0)
     clips = [jnp.asarray(rng.rand(T, 180, 320, 3).astype(np.float32))
