@@ -65,8 +65,21 @@ def main():
              for _ in range(4)]
     idx = jnp.asarray(clip_window_indices(T, 5, 'reflection_circle'))
 
+    # bf16 params + activations: the HBM-bound trunk halves its
+    # traffic; the DCN kernels already compute in bf16 under the
+    # default precision. Opt-in until the measured output-PSNR-vs-f32
+    # and speedup are recorded in docs/TPUDesign.md.
+    bf16 = os.environ.get('EDVR_TPU_BENCH_DTYPE', 'f32') == 'bf16'
+    if bf16:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16), variables)
+
     clip_fn = make_clip_restore_fn(net, win_batch=win_batch)
-    fwd = jax.jit(lambda v, c, i: clip_fn(v, c, i).mean())
+    if bf16:
+        fwd = jax.jit(lambda v, c, i: clip_fn(
+            v, c.astype(jnp.bfloat16), i).astype(jnp.float32).mean())
+    else:
+        fwd = jax.jit(lambda v, c, i: clip_fn(v, c, i).mean())
 
     # fixed host-sync overhead
     tiny = jax.jit(lambda v: (v * 2).mean())
@@ -91,7 +104,8 @@ def main():
     baseline_fps = 125.0  # assumed 5x of A100-torch ~25 fps
     print(json.dumps({
         'metric': f'EDVR-M x4 REDS {T}-frame clip (180x320x5 windows) '
-                  'frames/sec/chip (whole-clip eval, f32 params, '
+                  'frames/sec/chip (whole-clip eval, '
+                  f'{"bf16" if bf16 else "f32"} params, '
                   'TPU-default matmul precision)',
         'value': round(fps, 2),
         'unit': 'frames/sec',
