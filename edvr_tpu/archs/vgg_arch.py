@@ -60,6 +60,17 @@ _MEAN = (0.485, 0.456, 0.406)
 _STD = (0.229, 0.224, 0.225)
 
 
+def insert_bn(names):
+    """Insert a bn layer name after each conv (reference
+    basicsr/models/archs/vgg_arch.py:41-57)."""
+    names_bn = []
+    for name in names:
+        names_bn.append(name)
+        if 'conv' in name:
+            names_bn.append('bn' + name.replace('conv', ''))
+    return names_bn
+
+
 @ARCH_REGISTRY.register()
 class VGGFeatureExtractor(nn.Module):
     """Truncated VGG returning a dict of named features.
@@ -78,7 +89,7 @@ class VGGFeatureExtractor(nn.Module):
     def __call__(self, x):
         names = NAMES[self.vgg_type.replace('_bn', '')]
         if 'bn' in self.vgg_type:
-            raise NotImplementedError('bn VGG variants not implemented')
+            names = insert_bn(names)
         max_idx = max(names.index(v) for v in self.layer_name_list)
 
         if self.range_norm:
@@ -93,6 +104,11 @@ class VGGFeatureExtractor(nn.Module):
                 stage = int(name[4])
                 x = Conv2d(_STAGE_CH[stage], 3, padding=1,
                            name=f'features_{idx}')(x)
+            elif name.startswith('bn'):
+                # frozen feature extractor: always running statistics
+                # (the reference never trains the VGG, vgg_arch.py:135)
+                x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                                 name=f'features_{idx}')(x)
             elif name.startswith('relu'):
                 x = nn.relu(x)
             elif name.startswith('pool'):
@@ -106,11 +122,15 @@ class VGGFeatureExtractor(nn.Module):
 
 def load_vgg_weights(path: str, variables_template):
     """Import a torchvision vgg .pth (features.N.weight keys) into the
-    flax VGGFeatureExtractor params."""
+    flax VGGFeatureExtractor variables.
+
+    ``variables_template`` may be a params-only dict or a full
+    variables dict with 'batch_stats' (the bn variants' running
+    statistics convert into that collection)."""
     from edvr_tpu.convert import convert_state_dict, load_torch_weights
     state = load_torch_weights(path, param_key=None)
     state = {k.replace('features.', 'features_'): v
              for k, v in state.items() if k.startswith('features.')}
-    params, unmatched = convert_state_dict(state, variables_template)
+    variables, unmatched = convert_state_dict(state, variables_template)
     # classifier weights are irrelevant; features_N beyond max_idx too
-    return params
+    return variables

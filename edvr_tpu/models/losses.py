@@ -243,15 +243,17 @@ class PerceptualLoss:
                                   jnp.zeros((1, 32, 32, 3)))
         path = vgg_pretrain_path or VGG_PRETRAIN_PATH
         if os.path.exists(path):
-            self.vgg_params = load_vgg_weights(path, variables['params'])
+            # bn variants carry a batch_stats collection; plain VGG is
+            # params-only — convert whatever the template holds
+            self.vgg_variables = load_vgg_weights(path, dict(variables))
         else:
             get_root_logger().warning(
                 f'VGG pretrain weights not found at {path}; PerceptualLoss '
                 'uses a randomly initialized VGG (tests only).')
-            self.vgg_params = variables['params']
+            self.vgg_variables = dict(variables)
 
     def _features(self, x):
-        return self.vgg.apply({'params': self.vgg_params}, x)
+        return self.vgg.apply(self.vgg_variables, x)
 
     def _crit(self, a, b):
         if self.criterion_type == 'l1':
