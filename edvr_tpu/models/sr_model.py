@@ -268,7 +268,7 @@ class SRModel(BaseModel):
 
     def _log_validation_metric_values(self, current_iter, dataset_name,
                                       tb_logger):
-        log_str = f'Validation {dataset_name}\n'
+        log_str = f'Validation {dataset_name} (iter {current_iter:,d})\n'
         for metric, value in self.metric_results.items():
             log_str += f'\t # {metric}: {value:.4f}\n'
         get_root_logger().info(log_str)

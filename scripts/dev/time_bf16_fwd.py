@@ -11,9 +11,11 @@ the offset-conv arithmetic.
 
 Reports, at the flagship (1, 5, 180, 320, 3) window shape:
   - min-of-N latency for the f32 and bf16-cast forwards
-  - PSNR between the two outputs in the [0,1] image domain, and vs a
-    strict-f32 reference — the quantization must sit far below the
-    uint8 rounding floor (~48 dB) for metric-safe inference
+  - PSNR of each against a strict-f32 (HIGHEST matmul precision)
+    reference forward in the [0,1] image domain — isolating the bf16
+    cast's quantization from the default precision's; both must sit
+    far below the uint8 rounding floor (~48 dB) for metric-safe
+    inference
 
 Usage: python scripts/dev/time_bf16_fwd.py [--runs 4]
 """
@@ -75,8 +77,26 @@ def main():
     ms_f32 = bench(fwd_f32, params, 'f32 params, default precision')
     ms_bf16 = bench(fwd_bf16, p_bf16, 'bf16 params + activations  ')
 
+    # strict-f32 reference: HIGHEST matmul precision pins every MXU
+    # pass to f32, so the comparison isolates each fast path's total
+    # quantization (not run through `bench`: the band kernel requires
+    # the bf16 etype, so the strict forward takes the gather path and
+    # its latency is not comparable)
+    with jax.default_matmul_precision('highest'):
+        fwd_ref = jax.jit(lambda p, x: model.apply(p, x))
+        ref = np.clip(np.asarray(fwd_ref(params, xs[1])), 0, 1)
+
+    def psnr_vs_ref(out, label):
+        mse = float(np.mean((np.clip(out, 0, 1) - ref) ** 2))
+        psnr = 10 * np.log10(1.0 / mse) if mse else float('inf')
+        print(f'{label} vs strict-f32 reference: {psnr:.1f} dB',
+              flush=True)
+        return psnr
+
     a = np.asarray(fwd_f32(params, xs[1]))
     b = np.asarray(fwd_bf16(p_bf16, xs[1]))
+    psnr_vs_ref(a, 'f32/default-precision output')
+    psnr_vs_ref(b, 'bf16 output                 ')
     mse = float(np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2))
     psnr = 10 * np.log10(1.0 / mse) if mse else float('inf')
     print(f'bf16-vs-f32 output PSNR: {psnr:.1f} dB  '

@@ -25,7 +25,6 @@ import argparse
 import json
 import os
 import os.path as osp
-import re
 import sys
 import tempfile
 
@@ -98,7 +97,10 @@ def main():
                else osp.join(REPO, 'experiments', 'quality_run_r2'))
     os.makedirs(out_dir, exist_ok=True)
 
-    workdir = tempfile.mkdtemp(prefix='edvr_quality_')
+    # tiny plumbing-check runs get a distinct prefix so the harvester's
+    # default newest-workdir glob can never mistake one for a real run
+    workdir = tempfile.mkdtemp(
+        prefix='edvr_quality_tiny_' if args.tiny else 'edvr_quality_')
     root = osp.join(workdir, 'reds')
     # 8 clips x 100 frames of translating texture; REDS4 partition
     # holds out clip 000 for validation
@@ -184,24 +186,11 @@ def main():
     finally:
         os.chdir(cwd)
 
-    # harvest the PSNR-vs-iter curve from the experiment log
+    # harvest the PSNR-vs-iter curve from the experiment log (the
+    # validation header carries its own iter, so points are exact)
+    from harvest_quality_run import parse_curve
     log_dir = osp.join(workdir, 'experiments', 'quality_run_r2')
-    curve = []
-    for name in sorted(os.listdir(log_dir)):
-        if not name.endswith('.log'):
-            continue
-        with open(osp.join(log_dir, name)) as fh:
-            # pair each validation PSNR with the last train-progress
-            # iteration printed before it (print_freq divides val_freq,
-            # so the pairing is exact)
-            it = None
-            for line in fh:
-                mi = re.search(r'iter:\s*([\d,]+),', line)
-                if mi:
-                    it = int(mi.group(1).replace(',', ''))
-                mp = re.search(r'# psnr: ([\d.]+)', line)
-                if mp and it is not None:
-                    curve.append({'iter': it, 'psnr': float(mp.group(1))})
+    curve = parse_curve(log_dir)
 
     final = [float(arr.mean(axis=0)[0])
              for arr in model.metric_results.values()]
