@@ -268,7 +268,9 @@ class SRModel(BaseModel):
 
     def _log_validation_metric_values(self, current_iter, dataset_name,
                                       tb_logger):
-        log_str = f'Validation {dataset_name} (iter {current_iter:,d})\n'
+        # current_iter is an int while training, a checkpoint label
+        # string under the test CLI
+        log_str = f'Validation {dataset_name} (iter {current_iter})\n'
         for metric, value in self.metric_results.items():
             log_str += f'\t # {metric}: {value:.4f}\n'
         get_root_logger().info(log_str)

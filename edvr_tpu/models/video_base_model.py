@@ -237,7 +237,9 @@ class VideoBaseModel(SRModel):
         for metric in total_avg_results.keys():
             total_avg_results[metric] /= len(metric_results_avg)
 
-        log_str = f'Validation {dataset_name} (iter {current_iter:,d})\n'
+        # current_iter is an int while training, a checkpoint label
+        # string under the test CLI
+        log_str = f'Validation {dataset_name} (iter {current_iter})\n'
         for metric_idx, (metric, value) in enumerate(
                 total_avg_results.items()):
             log_str += f'\t # {metric}: {value:.4f}'

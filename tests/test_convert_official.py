@@ -54,76 +54,11 @@ def roundtrip(keys, to_official, remap, **remap_kwargs):
 
 # ---------------------------------------------------------------- EDVR
 
-def edvr_to_official(k):
-    """BasicSR EDVR key -> original-EDVR-repo key
-    (convert_models.py:16-106 elif chain)."""
-    if 'predeblur.stride_conv_hr1' in k:
-        return k.replace('predeblur.stride_conv_hr1',
-                         'pre_deblur.conv_first_2')
-    if 'predeblur.stride_conv_hr2' in k:
-        return k.replace('predeblur.stride_conv_hr2',
-                         'pre_deblur.conv_first_3')
-    if 'predeblur.conv_first' in k:
-        return k.replace('predeblur.conv_first', 'pre_deblur.conv_first_1')
-    if 'predeblur.stride_conv_l2' in k:
-        return k.replace('predeblur.stride_conv_l2',
-                         'pre_deblur.deblur_L2_conv')
-    if 'predeblur.stride_conv_l3' in k:
-        return k.replace('predeblur.stride_conv_l3',
-                         'pre_deblur.deblur_L3_conv')
-    if 'predeblur.resblock_l3' in k:
-        return k.replace('predeblur.resblock_l3', 'pre_deblur.RB_L3_1')
-    if 'predeblur.resblock_l2' in k:
-        return k.replace('predeblur.resblock_l', 'pre_deblur.RB_L')
-    if 'predeblur.resblock_l1' in k:
-        a, b, c, d, e = k.split('.')
-        return f'pre_deblur.RB_L1_{int(c) + 1}.{d}.{e}'
-    if 'conv_l2' in k:
-        return k.replace('conv_l2_', 'fea_L2_conv')
-    if 'conv_l3' in k:
-        return k.replace('conv_l3_', 'fea_L3_conv')
-    if 'pcd_align.dcn_pack' in k:
-        idx = k.split('.l')[1].split('.')[0]
-        name = k.split('.l')[1].split('.')[1]
-        if 'conv_offset' in k:
-            name = name.replace('conv_offset', 'conv_offset_mask')
-            wb = k.split('.l')[1].split('.')[2]
-            return f'pcd_align.L{idx}_dcnpack.{name}.{wb}'
-        return f'pcd_align.L{idx}_dcnpack.{name}'
-    if 'pcd_align.offset_conv' in k:
-        a, b, c, d = k.split('.')
-        idx = b.split('conv')[1]
-        level = c.split('l')[1]
-        return f'pcd_align.L{level}_offset_conv{idx}.{d}'
-    if 'pcd_align.feat_conv' in k:
-        a, b, c, d = k.split('.')
-        level = c.split('l')[1]
-        return f'pcd_align.L{level}_fea_conv.{d}'
-    if 'pcd_align.cas_dcnpack' in k:
-        return k.replace('conv_offset', 'conv_offset_mask')
-    if ('conv_first' in k or 'feature_extraction' in k
-            or 'pcd_align.cas_offset' in k or 'upconv' in k
-            or 'conv_last' in k or 'conv_1x1' in k):
-        return k
-    if 'temporal_attn1' in k:
-        return k.replace('fusion.temporal_attn1', 'tsa_fusion.tAtt_2')
-    if 'temporal_attn2' in k:
-        return k.replace('fusion.temporal_attn2', 'tsa_fusion.tAtt_1')
-    if 'fusion.feat_fusion' in k:
-        return k.replace('fusion.feat_fusion', 'tsa_fusion.fea_fusion')
-    if 'fusion.spatial_attn_add' in k:
-        return k.replace('fusion.spatial_attn_add', 'tsa_fusion.sAtt_add_')
-    if 'fusion.spatial_attn_l' in k:
-        return k.replace('fusion.spatial_attn_l', 'tsa_fusion.sAtt_L')
-    if 'fusion.spatial_attn' in k:
-        return k.replace('fusion.spatial_attn', 'tsa_fusion.sAtt_')
-    if 'reconstruction' in k:
-        return k.replace('reconstruction', 'recon_trunk')
-    if 'conv_hr' in k:
-        return k.replace('conv_hr', 'HRconv')
-    if 'fusion' in k:
-        return k.replace('fusion', 'tsa_fusion')
-    return None
+# inverse map lives in the package (used by the ModelZoo
+# rehearsal to synthesize official .pth files); remap_edvr and
+# edvr_to_official remain independent transcriptions of the
+# reference mapping, so the roundtrip below cross-checks them
+from edvr_tpu.convert.official import edvr_to_official  # noqa: E402
 
 
 @pytest.mark.parametrize('fixture', ['edvr_m_full', 'edvr_tsa',
