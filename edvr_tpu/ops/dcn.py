@@ -658,10 +658,14 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
         # back) — ~500 MB of HBM round-trip per EDVR-M L1 call, as
         # large as the kernel itself.
         txp = bgeom.tiles_x_pad
-        col_idx = (np.arange(txp)[:, None] * SX +
+        # tile t of the padded table covers pixels (t - pad_tx_l)*SX +
+        # [0, PX): the left pad aligns co-designed band starts to the
+        # 8-tile grid (BandGeom.pad_tx_l); out-of-image columns zero
+        col_idx = ((np.arange(txp) - bgeom.pad_tx_l)[:, None] * SX +
                    np.arange(PX)[None, :]).reshape(-1)
-        col_valid = jnp.asarray((col_idx < w).astype(np.float32))
-        col_idx = jnp.asarray(np.minimum(col_idx, w - 1))
+        col_valid = jnp.asarray(
+            ((col_idx >= 0) & (col_idx < w)).astype(np.float32))
+        col_idx = jnp.asarray(np.clip(col_idx, 0, w - 1))
         tab = (jnp.take(x, col_idx, axis=2) *
                col_valid[None, None, :, None]).astype(etype)
         tab_dn = jnp.concatenate(

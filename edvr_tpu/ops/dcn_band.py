@@ -108,20 +108,38 @@ class BandGeom:
         span_tx = (-(-((bw - 1) * stride + dilation * (kw - 1) + 2 * J + 2)
                      // SX) + 1)
         # Mosaic requires window slices on the sublane (tile) dim to be
-        # 8-aligned in both offset and extent: the kernel table is
-        # padded to a multiple of 8 tiles, starts are floored to 8, and
-        # the span absorbs the up-to-7-tile flooring drift
-        self.tiles_x_pad = -(-tiles_x // 8) * 8
-        self.span_tx = min(-(-(span_tx + 7) // 8) * 8, self.tiles_x_pad)
+        # 8-aligned in both offset and extent. Starts are floored to 8
+        # and the span absorbs the flooring drift — but the drift is
+        # MEASURED from the actual static start sequence, not assumed
+        # worst-case 7: when the per-band tile advance bw*stride/SX is
+        # itself a multiple of 8 (e.g. bw=56 at SX=7), every band start
+        # shares one residue, and a LEFT table pad of (8 - residue) % 8
+        # tiles shifts them all onto the 8-grid — drift 0, so the span
+        # is the bare receptive extent rounded up once (co-designed
+        # band/tile grid; kills the up-to-36% alignment waste of the
+        # worst-case formula, docs/TPUDesign.md "Speed-of-light
+        # accounting" item 3).
+        raw_tx = (np.arange(self.Bx) * bw * stride - padding - J) // SX
+        if len(raw_tx) and np.all((raw_tx - raw_tx[0]) % 8 == 0):
+            self.pad_tx_l = int((-raw_tx[0]) % 8)
+        else:
+            self.pad_tx_l = 0
+        # negative raw starts clamp to 0 (the table has no tiles below
+        # 0; points left of the window are handled by corner validity
+        # or the outlier patch), so they contribute no flooring drift
+        raw_tx = np.maximum(raw_tx + self.pad_tx_l, 0)
+        self.tiles_x_pad = -(-(tiles_x + self.pad_tx_l) // 8) * 8
+        floored = (raw_tx // 8) * 8
+        drift = int(np.max(raw_tx - floored)) if len(raw_tx) else 0
+        self.span_tx = min(-(-(span_tx + drift) // 8) * 8,
+                           self.tiles_x_pad)
         self.W = self.span_y * self.span_tx
         # static per-band window starts
         self.start_y = np.clip(
             np.arange(self.By) * r * stride - padding - J,
             0, h - self.span_y).astype(np.int32)
-        raw_tx = np.clip(
-            (np.arange(self.Bx) * bw * stride - padding - J) // SX,
-            0, self.tiles_x_pad - self.span_tx)
-        self.start_tx = ((raw_tx // 8) * 8).astype(np.int32)
+        self.start_tx = np.clip(
+            floored, 0, self.tiles_x_pad - self.span_tx).astype(np.int32)
 
     def key(self):
         return (self.n, self.h, self.tiles_x, self.w_pix, self.out_h,
@@ -148,17 +166,35 @@ class BandGeom:
                 and self.W <= 4096 and self.NC <= 1024
                 # the in-kernel mul-shift floordiv is exact to 8191
                 and self.SX * self.tiles_x <= 8191
-                # row-space point decode uses shifts: bw power of 2
-                and (self.bw & (self.bw - 1)) == 0
-                and self.NC % 128 == 0)
+                # row-space point decode: power-of-2 bw uses shifts,
+                # anything else the exact mul-shift division (range
+                # NC <= 1024 < 8191 covered); bw % 8 == 0 keeps the
+                # (NC, c) <-> (1, r, bw, c) sublane splits free views
+                and self.bw % 8 == 0)
 
 
 # magic multiplier for exact floor(x / SX) on 0 <= x <= 8191 via
 # (x * _DIV_MUL[SX]) >> 16
-def _div_magic(sx):
+def _div_magic(sx, max_x=8191):
     m = -(-(1 << 16) // sx)
-    assert all((x * m) >> 16 == x // sx for x in range(0, 8192, 1)), sx
+    assert all((x * m) >> 16 == x // sx
+               for x in range(0, max_x + 1)), (sx, max_x)
     return m
+
+
+def _point_decoders(bw, max_pn):
+    """Row-space decode pn -> (row, col) within a band, for any bw.
+
+    Power-of-two bw uses shift/mask; anything else the exact mul-shift
+    division, whose 16-bit magic is verified over the actual point
+    range (pn <= NC - 1 <= 1023 by eligibility — far inside the range
+    where the magic stays exact).
+    """
+    if bw & (bw - 1) == 0:
+        shift = bw.bit_length() - 1
+        return (lambda pn: pn >> shift), (lambda pn, y: pn & (bw - 1))
+    mul = _div_magic(bw, max_x=max_pn)
+    return (lambda pn: (pn * mul) >> 16), (lambda pn, y: pn - y * bw)
 
 
 def band_field(geom, arr, nch):
@@ -279,8 +315,8 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
     etype = tab4.dtype
     w_pix = g_.w_pix
     div_mul = _div_magic(g_.SX)
-    bw_shift = bw.bit_length() - 1
-    assert bw == 1 << bw_shift, 'bw must be a power of two'
+    dec_y, dec_x = _point_decoders(bw, NC - 1)
+    pad_tx_l = g_.pad_tx_l
     assert tab4.shape[3] == g_.tiles_x_pad, 'table must be pre-padded'
     Coff, Cmsk = dg * 2 * K, dg * K
 
@@ -330,8 +366,9 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
 
         # static output-pixel base positions of this band (row space)
         pn = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
-        yo = by * r + (pn >> bw_shift)
-        xo = bx * bw + (pn & (bw - 1))
+        yo_b = dec_y(pn)
+        yo = by * r + yo_b
+        xo = bx * bw + dec_x(pn, yo_b)
         posy = (yo * g_.stride - g_.padding).astype(jnp.float32)
         posx = (xo * g_.stride - g_.padding).astype(jnp.float32)
         sy_b = sy_ref[by]
@@ -403,7 +440,7 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
             wx1 = fx * vx1
 
             ry = ty - sy_b
-            rx = tx - stx_b
+            rx = tx + pad_tx_l - stx_b
             inw_k = (((ry >= 0) & (ry < span_y) &
                       (rx >= 0) & (rx < span_tx)) | pad_pt)
             inw_ref[0, 0, 0, 0, pl.ds(k, 1), :] = \
@@ -563,8 +600,8 @@ def band_backward(geom, tab4, off, msk, doutp, wexp,
     etype = tab4.dtype
     w_pix = g_.w_pix
     div_mul = _div_magic(g_.SX)
-    bw_shift = bw.bit_length() - 1
-    assert bw == 1 << bw_shift, 'bw must be a power of two'
+    dec_y, dec_x = _point_decoders(bw, NC - 1)
+    pad_tx_l = g_.pad_tx_l
     assert tab4.shape[3] == g_.tiles_x_pad, 'table must be pre-padded'
     Coff, Cmsk = dg * 2 * K, dg * K
     out_h, out_w = g_.out_h, g_.out_w
@@ -612,8 +649,9 @@ def band_backward(geom, tab4, off, msk, doutp, wexp,
         win = win_ref[slot].reshape(W, 128)
 
         pn = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
-        yo = by * r + (pn >> bw_shift)
-        xo = bx * bw + (pn & (bw - 1))
+        yo_b = dec_y(pn)
+        yo = by * r + yo_b
+        xo = bx * bw + dec_x(pn, yo_b)
         posy = (yo * g_.stride - g_.padding).astype(jnp.float32)
         posx = (xo * g_.stride - g_.padding).astype(jnp.float32)
         sy_b = sy_ref[by]
@@ -625,8 +663,9 @@ def band_backward(geom, tab4, off, msk, doutp, wexp,
         # point-on-sublane orientation before anything contracts over
         # the NC dim (a NaN there would poison wg/dwexp globally).
         pn_s = jax.lax.broadcasted_iota(jnp.int32, (NC, 1), 0)
-        pad_s = (((by * r + (pn_s >> bw_shift)) >= out_h) |
-                 ((bx * bw + (pn_s & (bw - 1))) >= out_w))
+        yo_s = dec_y(pn_s)
+        pad_s = (((by * r + yo_s) >= out_h) |
+                 ((bx * bw + dec_x(pn_s, yo_s)) >= out_w))
         dout_e = jnp.where(pad_s, 0,
                            dout_ref[...].reshape(NC, cout)).astype(etype)
 
@@ -687,7 +726,7 @@ def band_backward(geom, tab4, off, msk, doutp, wexp,
             wx1 = fx * vx1
 
             oy = (iota_y == (ty - sy_b)).astype(etype)
-            ox = (iota_x == (tx - stx_b)).astype(etype)
+            ox = (iota_x == (tx + pad_tx_l - stx_b)).astype(etype)
             onehot = (oy[:, None, :] * ox[None, :, :]).reshape(W, NC)
             gT = jax.lax.dot_general(
                 win, onehot, (((0,), (0,)), ((), ())),
@@ -946,7 +985,7 @@ def outlier_patch_bwd(geom, grads, tab, off, msk, inw, doutp, wexp,
         pc = point_coeffs(g_, dy_e + i_e, dx_e + j_e, m_e,
                           pos_y_e, pos_x_e)
         rows_e = ((img_e * g_.dg + g_e) * (g_.h * g_.tiles_x_pad) +
-                  pc['ty'] * g_.tiles_x_pad + pc['tx'])
+                  pc['ty'] * g_.tiles_x_pad + pc['tx'] + g_.pad_tx_l)
         wy_sel = jnp.where(
             slot_r == pc['ry0'][:, None, None], pc['wy0'][:, None, None],
             jnp.where(slot_r == pc['ry0'][:, None, None] + 1,
@@ -1077,7 +1116,7 @@ def outlier_patch(geom, out_flat, tab, off, msk, inw, wexp, etype, cap):
         pc = point_coeffs(g_, dy_e + i_e, dx_e + j_e, m_e,
                           pos_y_e, pos_x_e)
         rows_e = ((img_e * g_.dg + g_e) * (g_.h * g_.tiles_x_pad) +
-                  pc['ty'] * g_.tiles_x_pad + pc['tx'])
+                  pc['ty'] * g_.tiles_x_pad + pc['tx'] + g_.pad_tx_l)
         cslot = (jnp.where(slot_r == pc['ry0'][:, None, None],
                            pc['wy0'][:, None, None],
                            jnp.where(slot_r == pc['ry0'][:, None, None] + 1,
