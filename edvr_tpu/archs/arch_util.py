@@ -199,6 +199,15 @@ class DCNv2Pack(nn.Module):
         offset = jnp.concatenate([o1, o2], axis=-1)
         mask = nn.sigmoid(mask)
 
+        if os.environ.get('EDVR_TPU_PCD_NO_ALIGN') == '1':
+            # ablation control (dev only): freeze offsets at zero so the
+            # DCN degenerates to a modulated plain conv. Trained next to
+            # the full model on identical data, the PSNR gap isolates
+            # what the alignment path learns (the component-level proof
+            # the reference demonstrates via REDS4). Parameters are
+            # unchanged, so checkpoints stay interchangeable.
+            offset = jnp.zeros_like(jax.lax.stop_gradient(offset))
+
         if os.environ.get('EDVR_TPU_MONITOR_OFFSETS') == '1':
             # the reference warns when the offset magnitude explodes
             # (arch_util.py:249-253), a sign of diverging alignment.

@@ -75,29 +75,31 @@ def main():
     # artifacts: a --tiny smoke (16-feat net) would silently
     # misrepresent the quality evidence
     opt_path = osp.join(workdir, 'opt.yml')
+    name = 'quality_run_r2'
     if osp.isfile(opt_path):
         import yaml
         with open(opt_path) as fh:
             opt = yaml.safe_load(fh)
+        name = opt.get('name', name)
         feat = opt.get('network_g', {}).get('num_feat')
         if feat != 64 and not force:
             sys.exit(f'{workdir} trains num_feat={feat}, not the '
                      'production 64-feat EDVR-M — refusing to overwrite '
-                     'experiments/quality_run_r2 (use --force to harvest '
+                     f'experiments/{name} (use --force to harvest '
                      'anyway)')
     elif not force:
         sys.exit(f'{workdir} has no opt.yml to verify the config '
                  '(use --force to harvest anyway)')
 
-    log_dir = osp.join(workdir, 'experiments', 'quality_run_r2')
+    log_dir = osp.join(workdir, 'experiments', name)
     if not osp.isdir(log_dir):
-        sys.exit(f'{workdir} has no experiments/quality_run_r2 yet '
+        sys.exit(f'{workdir} has no experiments/{name} yet '
                  '(run killed before the trainer created it?)')
     curve = parse_curve(log_dir)
     if not curve:
         sys.exit(f'no validation points found in {log_dir}')
 
-    out_dir = osp.join(REPO, 'experiments', 'quality_run_r2')
+    out_dir = osp.join(REPO, 'experiments', name)
     os.makedirs(out_dir, exist_ok=True)
     with open(osp.join(out_dir, 'curve.jsonl'), 'w') as fh:
         for pt in curve:

@@ -88,13 +88,24 @@ def main():
     parser.add_argument('--tiny', action='store_true',
                         help='shrink the net/frames for a CPU plumbing '
                              'check of the harness itself')
+    parser.add_argument('--name', default='quality_run_r2',
+                        help='experiment name / committed output dir '
+                             'under experiments/')
+    parser.add_argument('--no_align', action='store_true',
+                        help='no-alignment control: freeze PCD offsets '
+                             'at zero (EDVR_TPU_PCD_NO_ALIGN) to isolate '
+                             'what the DCN alignment path learns')
     args = parser.parse_args()
     if args.tiny:
         import jax
         jax.config.update('jax_platforms', 'cpu')
+    if args.no_align:
+        os.environ['EDVR_TPU_PCD_NO_ALIGN'] = '1'
+        if args.name == 'quality_run_r2':
+            args.name = 'quality_ablation_noalign'
 
     out_dir = (tempfile.mkdtemp(prefix='quality_tiny_') if args.tiny
-               else osp.join(REPO, 'experiments', 'quality_run_r2'))
+               else osp.join(REPO, 'experiments', args.name))
     os.makedirs(out_dir, exist_ok=True)
 
     # tiny plumbing-check runs get a distinct prefix so the harvester's
@@ -116,7 +127,7 @@ def main():
 
     tsa_iter = max(args.iters // 10, 1)
     opt = {
-        'name': 'quality_run_r2', 'model_type': 'EDVRModel', 'scale': 4,
+        'name': args.name, 'model_type': 'EDVRModel', 'scale': 4,
         'num_gpu': 1, 'manual_seed': 10,
         'datasets': {
             'train': dict(
@@ -189,7 +200,7 @@ def main():
     # harvest the PSNR-vs-iter curve from the experiment log (the
     # validation header carries its own iter, so points are exact)
     from harvest_quality_run import parse_curve
-    log_dir = osp.join(workdir, 'experiments', 'quality_run_r2')
+    log_dir = osp.join(workdir, 'experiments', args.name)
     curve = parse_curve(log_dir)
 
     final = [float(arr.mean(axis=0)[0])
@@ -204,7 +215,9 @@ def main():
         for pt in curve:
             fh.write(json.dumps(pt) + '\n')
     summary = {
-        'config': 'EDVR-M (64f/8dg/5+10 blocks, TSA), B'
+        'config': ('NO-ALIGN CONTROL (PCD offsets frozen at zero) '
+                   if args.no_align else '') +
+                  'EDVR-M (64f/8dg/5+10 blocks, TSA), B'
                   f'{args.batch}/{args.hw}px GT crops, Charbonnier, '
                   f'Adam 4e-4 cosine->1e-7, tsa_iter={tsa_iter}',
         'iters': args.iters,
