@@ -67,9 +67,12 @@ def main():
 
     # bf16 params + activations: the HBM-bound trunk halves its
     # traffic; the DCN kernels already compute in bf16 under the
-    # default precision. Opt-in until the measured output-PSNR-vs-f32
-    # and speedup are recorded in docs/TPUDesign.md.
-    bf16 = os.environ.get('EDVR_TPU_BENCH_DTYPE', 'f32') == 'bf16'
+    # default precision. DEFAULT since the measurement landed
+    # (docs/TPUDesign.md "bf16 inference"): window fwd 110.5 -> 101.7
+    # ms, clip 9.2 -> 9.96 fps, output PSNR vs a strict-f32 reference
+    # 60.9 dB — far above the ~48 dB uint8 rounding floor, so the
+    # REDS4 metric impact is nil. EDVR_TPU_BENCH_DTYPE=f32 opts out.
+    bf16 = os.environ.get('EDVR_TPU_BENCH_DTYPE', 'bf16') == 'bf16'
     if bf16:
         variables = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16), variables)

@@ -22,6 +22,10 @@ def main():
     parser.add_argument('--crop', type=int, default=64)
     parser.add_argument('--config', default='edvr_m',
                         choices=['edvr_m', 'edvr_l'])
+    parser.add_argument('--ablate', action='store_true',
+                        help='also time fwd-only and fwd+bwd variants '
+                             'and print the step decomposition '
+                             '(fwd / bwd / optimizer)')
     args = parser.parse_args()
 
     import jax
@@ -102,6 +106,53 @@ def main():
         'step_tflop': round(tflop, 3),
         'mfu_pct_bf16peak': round(mfu_bf16, 1),
         'all_ms': [round((t - overhead) * 1000, 1) for t in times],
+    }))
+
+    if not args.ablate:
+        return
+
+    # step decomposition (VERDICT r3 weak-item 1): time fwd-only and
+    # fwd+bwd closures of the SAME loss; differences isolate the
+    # backward pass and the optimizer. The band kernel's own fwd/bwd
+    # split at the train geometries comes from
+    # scripts/dev/measure_band_dispatch.py (train L1/L2 rows).
+    @jax.jit
+    def fwd_only(params, lq, gt):
+        out = net.apply({'params': params}, lq)
+        return charbonnier_loss(out, gt)
+
+    @jax.jit
+    def fwd_bwd(params, lq, gt):
+        def loss_fn(p):
+            out = net.apply({'params': p}, lq)
+            return charbonnier_loss(out, gt)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # pull one scalar that depends on every grad leaf so nothing
+        # is dead-code-eliminated
+        gsum = sum(jnp.sum(jnp.abs(g) if g.ndim == 0 else jnp.abs(g))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return loss + 0.0 * gsum
+
+    def time_fn(fn):
+        float(fn(params, batches[0][0], batches[0][1]))  # compile+warm
+        ts = []
+        for lq, gt in batches[1:]:
+            t0 = time.time()
+            float(fn(params, lq, gt))
+            ts.append(time.time() - t0)
+        return (min(ts) - overhead) * 1000
+
+    ms_fwd = time_fn(fwd_only)
+    ms_fwdbwd = time_fn(fwd_bwd)
+    print(json.dumps({
+        'ablation_ms': {
+            'fwd': round(ms_fwd, 1),
+            'bwd (fwdbwd - fwd)': round(ms_fwdbwd - ms_fwd, 1),
+            'optimizer (step - fwdbwd)': round(ms - ms_fwdbwd, 1),
+            'full_step': round(ms, 1),
+        },
+        'note': 'band-kernel fwd/bwd split at these geometries: '
+                'scripts/dev/measure_band_dispatch.py train rows',
     }))
 
 

@@ -17,15 +17,16 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 import numpy as np
 
 CONFIGS = [
-    # (r, bw, J) — bw must be a power of two, r*bw % 128 == 0
-    (8, 64, 4),      # default
-    (8, 64, 2),
-    (8, 64, 6),
-    (8, 64, 8),
-    (4, 64, 4),
-    (16, 64, 4),
-    (8, 128, 4),
-    (4, 32, 4),
+    # (r, bw, J) — bw % 8 == 0 (v4), NC = r*bw <= 1024.
+    # v4 probe set: the L1 kernel no longer scales with W
+    # (docs/TPUDesign.md SoL), so the lever is amortizing per-step
+    # fixed cost — double NC per step, or zero-drift bw=56 bands
+    # co-designed with the SX=7 tile grid.
+    (8, 64, 2),      # shipped default (v4 span 16, W=240, NC=512)
+    (8, 128, 2),     # NC=1024, half the grid steps
+    (16, 64, 2),     # NC=1024, half the grid steps, taller bands
+    (8, 56, 2),      # zero-drift co-designed bands (NC=448)
+    (16, 56, 2),     # zero-drift + taller (NC=896)
 ]
 
 
