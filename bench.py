@@ -52,10 +52,14 @@ def main():
     T = int(os.environ.get('EDVR_TPU_BENCH_FRAMES', '100'))
     win_batch = int(os.environ.get('EDVR_TPU_BENCH_WIN_BATCH', '1'))
 
-    net = EDVR(num_in_ch=3, num_out_ch=3, num_feat=64, num_frame=5,
+    # EDVR_TPU_BENCH_VARIANT=L benches the reference's flagship EDVR-L
+    # (128 feat, 40 recon blocks, docs/ModelZoo.md:106-109); default M
+    variant = os.environ.get('EDVR_TPU_BENCH_VARIANT', 'M').upper()
+    feat, recon = (128, 40) if variant == 'L' else (64, 10)
+    net = EDVR(num_in_ch=3, num_out_ch=3, num_feat=feat, num_frame=5,
                deformable_groups=8, num_extract_block=5,
-               num_reconstruct_block=10, center_frame_idx=2, hr_in=False,
-               with_predeblur=False, with_tsa=True)
+               num_reconstruct_block=recon, center_frame_idx=2,
+               hr_in=False, with_predeblur=False, with_tsa=True)
     variables = net.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 5, 16, 16, 3)))
     rng = np.random.RandomState(0)
@@ -106,7 +110,8 @@ def main():
 
     baseline_fps = 125.0  # assumed 5x of A100-torch ~25 fps
     print(json.dumps({
-        'metric': f'EDVR-M x4 REDS {T}-frame clip (180x320x5 windows) '
+        'metric': f'EDVR-{variant} x4 REDS {T}-frame clip '
+                  '(180x320x5 windows) '
                   'frames/sec/chip (whole-clip eval, '
                   f'{"bf16" if bf16 else "f32"} params, '
                   'TPU-default matmul precision)',

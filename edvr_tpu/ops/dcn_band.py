@@ -170,7 +170,13 @@ class BandGeom:
                 # anything else the exact mul-shift division (range
                 # NC <= 1024 < 8191 covered); bw % 8 == 0 keeps the
                 # (NC, c) <-> (1, r, bw, c) sublane splits free views
-                and self.bw % 8 == 0)
+                and self.bw % 8 == 0
+                # Mosaic cannot lower (span_y, NC)->(span_y, 1, NC)
+                # broadcasts when the lane dim is a partial vreg:
+                # measured "infer-vector-layout: unsupported shape
+                # cast" at NC=448 (r=8, bw=56) on v5e — NC must fill
+                # whole 128-lane registers
+                and self.NC % 128 == 0)
 
 
 # magic multiplier for exact floor(x / SX) on 0 <= x <= 8191 via

@@ -17,16 +17,21 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 import numpy as np
 
 CONFIGS = [
-    # (r, bw, J) — bw % 8 == 0 (v4), NC = r*bw <= 1024.
-    # v4 probe set: the L1 kernel no longer scales with W
-    # (docs/TPUDesign.md SoL), so the lever is amortizing per-step
-    # fixed cost — double NC per step, or zero-drift bw=56 bands
-    # co-designed with the SX=7 tile grid.
+    # (r, bw, J) — bw % 8 == 0 AND NC = r*bw a multiple of 128
+    # (Mosaic partial-vreg lane dims fail to lower), NC <= 1024.
+    # Measured at the v4 flagship L1 (2026-08-19, sweep below):
+    #   r8/bw64  W=240 NC=512  -> 24.8 ms  (shipped)
+    #   r16/bw64 W=368 NC=1024 -> 29.4 ms  (halved steps did NOT pay)
+    #   r8/bw128 W=480 NC=1024 -> 33.9 ms
+    # Linear fit: time ~ 15.7 ms + 0.038*W — a large W-INDEPENDENT
+    # term that scales with total points, pointing at the per-tap
+    # (1, NC) coefficient row algebra (1/8 sublane efficiency), not
+    # per-step overhead. bw=56 zero-drift configs are Mosaic-illegal
+    # (NC=448/896 lane dims... 896 is 7x128 but spans stay 16 anyway;
+    # 448 measured-crashed), so they are out.
     (8, 64, 2),      # shipped default (v4 span 16, W=240, NC=512)
     (8, 128, 2),     # NC=1024, half the grid steps
     (16, 64, 2),     # NC=1024, half the grid steps, taller bands
-    (8, 56, 2),      # zero-drift co-designed bands (NC=448)
-    (16, 56, 2),     # zero-drift + taller (NC=896)
 ]
 
 
