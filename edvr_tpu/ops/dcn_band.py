@@ -321,6 +321,7 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
     etype = tab4.dtype
     w_pix = g_.w_pix
     div_mul = _div_magic(g_.SX)
+    div_kw = _div_magic(g_.kw, max_x=K - 1)
     dec_y, dec_x = _point_decoders(bw, NC - 1)
     pad_tx_l = g_.pad_tx_l
     assert tab4.shape[3] == g_.tiles_x_pad, 'table must be pre-padded'
@@ -397,7 +398,12 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
         blk_m = msk_ref[...].reshape(NC, Cmsk)
         ia_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 0)
         ic_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 1)
-        sel_o = (ic_o == gi * (2 * K) + ia_o).astype(jnp.float32)
+        # v5: the select PERMUTES the interleaved (dy0, dx0, dy1, ...)
+        # field rows into [all K dy rows; all K dx rows] so the
+        # batched algebra below can slice them as contiguous (K, NC)
+        # sublane blocks
+        ia_perm = jnp.where(ia_o < K, 2 * ia_o, 2 * (ia_o - K) + 1)
+        sel_o = (ic_o == gi * (2 * K) + ia_perm).astype(jnp.float32)
         ia_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 0)
         ic_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 1)
         sel_m = (ic_m == gi * K + ia_m).astype(jnp.float32)
@@ -415,45 +421,64 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
         rows_o = jnp.where(pad_pt, 0.0, rows_o)
         rows_m = jnp.where(pad_pt, 0.0, rows_m)
 
+        # v5: TAP-BATCHED coefficient algebra. The per-tap version ran
+        # every scalar row op on (1, NC) shapes — 1/8 VPU sublane
+        # efficiency — and measured as a ~16 ms W-INDEPENDENT floor of
+        # the L1 call (tune_dcn_band sweep fit: t ≈ 15.7 ms + 0.038*W,
+        # docs/TPUDesign.md). All K taps' rows are computed in one
+        # (K, NC) pass; the per-tap loop below only slices.
+        k_i = jax.lax.broadcasted_iota(jnp.int32, (K, NC), 0)
+        i_e = (k_i * div_kw) >> 16                       # k // kw
+        j_e = k_i - g_.kw * i_e
+        cy = posy + i_e * g_.dilation + rows_o[:K]       # (K, NC)
+        cx = posx + j_e * g_.dilation + rows_o[K:]
+        y0 = jnp.floor(cy)
+        x0 = jnp.floor(cx)
+        fy = cy - y0
+        fx = cx - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        ty = jnp.clip(y0i, 0, g_.h - 1)
+        xc = jnp.clip(x0i, 0, 8191)
+        tx = jnp.minimum((xc * div_mul) >> 16, g_.tiles_x - 1)
+        ry0 = y0i - ty
+        px0 = x0i - g_.SX * tx
+        vy0 = ((y0i >= 0) & (y0i <= g_.h - 1)).astype(jnp.float32)
+        vy1 = ((y0i + 1 >= 0) &
+               (y0i + 1 <= g_.h - 1)).astype(jnp.float32)
+        vx0 = ((x0i >= 0) & (x0i <= w_pix - 1)).astype(jnp.float32)
+        vx1 = ((x0i + 1 >= 0) &
+               (x0i + 1 <= w_pix - 1)).astype(jnp.float32)
+        wy0 = (1 - fy) * vy0 * rows_m
+        wy1 = fy * vy1 * rows_m
+        wx0 = (1 - fx) * vx0
+        wx1 = fx * vx1
+
+        ry = ty - sy_b                                   # (K, NC)
+        rx = tx + pad_tx_l - stx_b
+        inw_ref[0, 0, 0, 0, :, :] = (
+            ((ry >= 0) & (ry < span_y) &
+             (rx >= 0) & (rx < span_tx)) | pad_pt).astype(jnp.float32)
+
+        # Lane-slot expansion via slot-coefficient rows. Nonzero
+        # bilinear weights can only land on row-slot 0/1 and
+        # pixel-slot 0..PX-1: wy0 != 0 requires vy0 = 1, which forces
+        # ty = y0i i.e. ry0 = 0; wy1 != 0 lands on slot ry0 + 1 which
+        # is 1 interior and 0 exactly when y0i = -1 (ry0 = -1); same
+        # algebra for x. The keyed selects collapse to row algebra +
+        # 2*PX sublane broadcasts + ONE full multiply per tap.
+        # Coefficients round to etype on the rows — the same rounding
+        # the gather path applies.
+        ay0 = wy0 + jnp.where(ry0 == -1, wy1, 0.0)       # (K, NC)
+        ay1 = jnp.where(ry0 == 0, wy1, 0.0)
+        bxp = [jnp.where(px0 == ps, wx0, 0.0) +
+               jnp.where(px0 == ps - 1, wx1, 0.0)
+               for ps in range(PX)]                      # PX x (K, NC)
+
         acc = jnp.zeros((NC, cout), jnp.float32)
         for k in range(K):
-            i, j = divmod(k, g_.kw)
-            dy = rows_o[2 * k:2 * k + 1, :]
-            dx = rows_o[2 * k + 1:2 * k + 2, :]
-            m = rows_m[k:k + 1, :]
-            cy = posy + i * g_.dilation + dy
-            cx = posx + j * g_.dilation + dx
-            y0 = jnp.floor(cy)
-            x0 = jnp.floor(cx)
-            fy = cy - y0
-            fx = cx - x0
-            y0i = y0.astype(jnp.int32)
-            x0i = x0.astype(jnp.int32)
-            ty = jnp.clip(y0i, 0, g_.h - 1)
-            xc = jnp.clip(x0i, 0, 8191)
-            tx = jnp.minimum((xc * div_mul) >> 16, g_.tiles_x - 1)
-            ry0 = y0i - ty
-            px0 = x0i - g_.SX * tx
-            vy0 = ((y0i >= 0) & (y0i <= g_.h - 1)).astype(jnp.float32)
-            vy1 = ((y0i + 1 >= 0) &
-                   (y0i + 1 <= g_.h - 1)).astype(jnp.float32)
-            vx0 = ((x0i >= 0) & (x0i <= w_pix - 1)).astype(jnp.float32)
-            vx1 = ((x0i + 1 >= 0) &
-                   (x0i + 1 <= w_pix - 1)).astype(jnp.float32)
-            wy0 = (1 - fy) * vy0 * m
-            wy1 = fy * vy1 * m
-            wx0 = (1 - fx) * vx0
-            wx1 = fx * vx1
-
-            ry = ty - sy_b
-            rx = tx + pad_tx_l - stx_b
-            inw_k = (((ry >= 0) & (ry < span_y) &
-                      (rx >= 0) & (rx < span_tx)) | pad_pt)
-            inw_ref[0, 0, 0, 0, pl.ds(k, 1), :] = \
-                inw_k.astype(jnp.float32)
-
-            oy = (iota_y == ry).astype(etype)            # (span_y, NC)
-            ox = (iota_x == rx).astype(etype)            # (span_tx, NC)
+            oy = (iota_y == ry[k:k + 1]).astype(etype)   # (span_y, NC)
+            ox = (iota_x == rx[k:k + 1]).astype(etype)   # (span_tx, NC)
             onehot = (oy[:, None, :] * ox[None, :, :]).reshape(W, NC)
             # emit the gather in etype: the one-hot selects a single
             # etype table value per output, so the post-accumulate
@@ -464,27 +489,11 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
                 win, onehot, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(etype)
 
-            # Lane-slot expansion via (1, NC) slot-coefficient rows.
-            # Nonzero bilinear weights can only land on row-slot 0/1
-            # and pixel-slot 0..PX-1: wy0 != 0 requires vy0 = 1, which
-            # forces ty = y0i i.e. ry0 = 0; wy1 != 0 lands on slot
-            # ry0 + 1 which is 1 interior and 0 exactly when y0i = -1
-            # (ry0 = -1); same algebra for x.  So the per-lane keyed
-            # selects of the earlier version (four full (128, NC)
-            # wheres + two full (128, NC) multiplies per tap — the
-            # kernel's dominant VPU cost) collapse to (1, NC) row
-            # algebra + 2*PX sublane broadcasts + ONE full multiply.
-            # Coefficients round to etype on the (1, NC) rows — the
-            # same rounding the gather path applies (it computes its
-            # slot coefficients in etype throughout).
-            ay0 = wy0 + jnp.where(ry0 == -1, wy1, 0.0)   # row-slot 0
-            ay1 = jnp.where(ry0 == 0, wy1, 0.0)          # row-slot 1
             cparts = []
             for ayr in (ay0, ay1):
                 for ps in range(PX):
-                    bxp = jnp.where(px0 == ps, wx0, 0.0) + \
-                        jnp.where(px0 == ps - 1, wx1, 0.0)
-                    coef = (ayr * bxp).astype(etype)     # (1, NC)
+                    coef = (ayr[k:k + 1] *
+                            bxp[ps][k:k + 1]).astype(etype)  # (1, NC)
                     cparts.append(jnp.broadcast_to(coef, (c_per, NC)))
             cfullT = jnp.concatenate(cparts, axis=0)     # (128, NC)
             blendT = gT * cfullT                         # (128, NC)
