@@ -441,6 +441,19 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray,
     out_h = (h + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
     out_w = (w + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
     P = out_h * out_w
+
+    # EDVR_TPU_DCN_QUANT=int|half|quarter snaps the SAMPLE POSITIONS
+    # (base tap + offset) to the given fractional grid at trace time —
+    # an inference-time approximation knob (VERDICT r3 item 2b): 'int'
+    # collapses the bilinear blend to a single corner. Gradients
+    # through jnp.round are zero, so training with it set would freeze
+    # offset learning — it is measured/gated by
+    # scripts/dev/eval_offset_quant.py, not used in training configs.
+    quant = os.environ.get('EDVR_TPU_DCN_QUANT', '')
+    if quant:
+        denom = {'int': 1.0, 'half': 2.0, 'quarter': 4.0}[quant]
+        offset = jnp.round(offset * denom) / denom
+
     assert offset.shape == (n, out_h, out_w, dg * 2 * K), offset.shape
     assert mask.shape == (n, out_h, out_w, dg * K), mask.shape
 

@@ -115,6 +115,34 @@ def test_mdcn_zero_offset_equals_conv():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize('mode,denom', [
+    ('int', 1.0), ('half', 2.0), ('quarter', 4.0)])
+def test_mdcn_offset_quant_knob(monkeypatch, mode, denom):
+    """EDVR_TPU_DCN_QUANT must equal running the op on pre-rounded
+    offsets (the knob is pure offset snapping, nothing else)."""
+    n, h, w, cin, cout = 1, 7, 6, 4, 5
+    dg, K = 2, 9
+    x = rng.randn(n, h, w, cin).astype(np.float32)
+    offset = (rng.randn(n, h, w, dg * 2 * K) * 2).astype(np.float32)
+    mask = rng.rand(n, h, w, dg * K).astype(np.float32)
+    weight = rng.randn(3, 3, cin, cout).astype(np.float32)
+    args = (jnp.asarray(mask), jnp.asarray(weight), None, 1, 1, 1, 1, dg)
+
+    monkeypatch.setenv('EDVR_TPU_DCN_QUANT', mode)
+    out = modulated_deform_conv(jnp.asarray(x), jnp.asarray(offset),
+                                *args)
+    monkeypatch.delenv('EDVR_TPU_DCN_QUANT')
+    ref = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(np.round(offset * denom) / denom),
+        *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+    # and it must actually differ from the continuous forward
+    cont = modulated_deform_conv(jnp.asarray(x), jnp.asarray(offset),
+                                 *args)
+    assert float(jnp.abs(out - cont).max()) > 1e-4
+
+
 def test_mdcn_gradients_finite_difference():
     """Autodiff grads (incl. the coordinate gradient, CUDA col2im_coord)
     vs central finite differences in float64."""
