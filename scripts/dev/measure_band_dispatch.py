@@ -49,6 +49,13 @@ def timed(fn, argsets, overhead, reps=4):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--fwd-only', action='store_true')
+    parser.add_argument('--full-grads', action='store_true',
+                        help='differentiate wrt x/offset/mask/weight '
+                             '(the full train-time chain incl. '
+                             'coordinate grads and fold_windows) '
+                             'instead of weights only')
+    parser.add_argument('--geoms', nargs='*',
+                        help='substring filter on geometry names')
     args = parser.parse_args()
 
     import jax
@@ -66,7 +73,9 @@ def main():
     rng = np.random.RandomState(0)
     cin = cout = 64
     K = 9
-    for name, n, h, w, dg in GEOMS:
+    geoms = [g for g in GEOMS
+             if not args.geoms or any(s in g[0] for s in args.geoms)]
+    for name, n, h, w, dg in geoms:
         weight = jnp.asarray(
             (rng.randn(3, 3, cin, cout) * 0.1).astype(np.float32))
         sets = []
@@ -90,10 +99,23 @@ def main():
             label = 'band' if band else 'gather'
             res[f'fwd {label}'] = timed(jax.jit(fwd), sets, overhead)
             if not args.fwd_only:
+                # weights-only grads DCE the coordinate-gradient
+                # chain (the dispatch signal); --full-grads keeps the
+                # whole train-time backward incl. the offset/mask
+                # gradients and the fold_windows table overlap-add
+                argnums = (0, 1, 2, 3) if args.full_grads else 3
                 gfn = jax.jit(jax.grad(
-                    lambda x, o, m, w_: fwd(x, o, m, w_), argnums=3))
-                res[f'fwdbwd {label}'] = timed(
-                    jax.jit(lambda *a: gfn(*a).mean()), sets, overhead)
+                    lambda x, o, m, w_: fwd(x, o, m, w_),
+                    argnums=argnums))
+                if args.full_grads:
+                    def pull(*a, _g=gfn):
+                        return sum(g.mean() for g in _g(*a))
+                else:
+                    def pull(*a, _g=gfn):
+                        return _g(*a).mean()
+                key = 'fwdbwd-full' if args.full_grads else 'fwdbwd'
+                res[f'{key} {label}'] = timed(
+                    jax.jit(pull), sets, overhead)
 
         parts = ' | '.join(f'{k} {v * 1e3:7.2f} ms'
                            for k, v in res.items())

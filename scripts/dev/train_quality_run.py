@@ -95,6 +95,13 @@ def main():
                         help='no-alignment control: freeze PCD offsets '
                              'at zero (EDVR_TPU_PCD_NO_ALIGN) to isolate '
                              'what the DCN alignment path learns')
+    parser.add_argument('--pretrain', default=None,
+                        help='warm-start from a .ckpt (e.g. the '
+                             'committed 20k checkpoint) with a fresh '
+                             'cosine schedule — the cheap form of the '
+                             '"did the model or the schedule saturate" '
+                             'extension (no optimizer state was saved)')
+    parser.add_argument('--lr', type=float, default=4e-4)
     args = parser.parse_args()
     if args.tiny:
         import jax
@@ -125,7 +132,8 @@ def main():
 
     from edvr_tpu import train as train_mod
 
-    tsa_iter = max(args.iters // 10, 1)
+    # warm starts already have a trained TSA — no TSA-only warmup phase
+    tsa_iter = 0 if args.pretrain else max(args.iters // 10, 1)
     opt = {
         'name': args.name, 'model_type': 'EDVRModel', 'scale': 4,
         'num_gpu': 1, 'manual_seed': 10,
@@ -155,10 +163,10 @@ def main():
                           num_reconstruct_block=1 if args.tiny else 10,
                           center_frame_idx=None, hr_in=False,
                           with_predeblur=False, with_tsa=True),
-        'path': dict(pretrain_network_g=None, strict_load_g=False,
-                     resume_state=None),
+        'path': dict(pretrain_network_g=args.pretrain,
+                     strict_load_g=True, resume_state=None),
         'train': dict(
-            optim_g=dict(type='Adam', lr=4e-4, weight_decay=0,
+            optim_g=dict(type='Adam', lr=args.lr, weight_decay=0,
                          betas=[0.9, 0.99]),
             scheduler=dict(type='CosineAnnealingRestartLR',
                            periods=[args.iters], restart_weights=[1],
@@ -217,9 +225,12 @@ def main():
     summary = {
         'config': ('NO-ALIGN CONTROL (PCD offsets frozen at zero) '
                    if args.no_align else '') +
+                  ('WARM START from '
+                   f'{osp.basename(args.pretrain)} ' if args.pretrain
+                   else '') +
                   'EDVR-M (64f/8dg/5+10 blocks, TSA), B'
                   f'{args.batch}/{args.hw}px GT crops, Charbonnier, '
-                  f'Adam 4e-4 cosine->1e-7, tsa_iter={tsa_iter}',
+                  f'Adam {args.lr:g} cosine->1e-7, tsa_iter={tsa_iter}',
         'iters': args.iters,
         'bicubic_psnr': round(base_psnr, 3),
         'final_psnr': round(final_psnr, 3),
