@@ -619,8 +619,12 @@ def _mdcn_packed(x, offset, mask, weight, bias, stride, padding, dilation,
     # HBM traffic without an in-kernel gather primitive (which Mosaic
     # does not expose). Kept opt-in for future Mosaic gather support.
     use_pallas = (os.environ.get('EDVR_TPU_DCN_PALLAS') == '1'
-                  and etype == jnp.bfloat16
-                  and jax.default_backend() == 'tpu')
+                  and ((etype == jnp.bfloat16
+                        and jax.default_backend() == 'tpu')
+                       # CPU parity tests run the kernel in Pallas
+                       # interpret mode (tests/test_dcn_pallas.py)
+                       or os.environ.get(
+                           'EDVR_TPU_DCN_PALLAS_INTERPRET') == '1'))
     # col2im backward (windowed one-hot MXU scatter) — see _gather_blend.
     # Measured a WASH on the v5e train step (358 vs 357 ms/step at
     # B4/64px) while adding ~9 min of compile time: the XLA einsum

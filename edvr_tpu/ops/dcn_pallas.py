@@ -18,12 +18,19 @@ fallback (CPU tests / interpretability).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# trace-time counter so parity tests can assert the kernel path RAN
+# (a silently-routed fallback invalidates the test — see the band
+# kernel's history in docs/TPUDesign.md)
+TRACE_COUNTS = {'blend': 0}
 
 
 @functools.partial(jax.jit, static_argnames=('c_per', 'block_rows'))
@@ -41,6 +48,7 @@ def blend_matmul_group(g_cat, cs_cat, wexp_g, out_prev, c_per: int,
     Returns:
         (NP, cout) float32.
     """
+    TRACE_COUNTS['blend'] += 1
     NP, width = g_cat.shape
     cwidth = cs_cat.shape[-1]
     assert cwidth * c_per == width
@@ -86,6 +94,9 @@ def blend_matmul_group(g_cat, cs_cat, wexp_g, out_prev, c_per: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblocks * block_rows, cout),
                                        jnp.float32),
+        # env read at trace time: CPU parity tests interpret the kernel
+        interpret=os.environ.get(
+            'EDVR_TPU_DCN_PALLAS_INTERPRET') == '1',
     )(g_cat, cs_cat, wexp_g, expand, out_prev)
 
     return out[:NP] if pad else out
