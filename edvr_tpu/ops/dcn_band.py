@@ -277,8 +277,16 @@ def point_coeffs(geom, dy, dx, m, pos_y, pos_x):
 
 
 @functools.partial(jax.jit, static_argnames=('geom', 'interpret'))
-def band_forward(geom, tab4, off, msk, wexp, interpret=False):
+def band_forward(geom, tab4, off, msk, wexp, interpret=False,
+                 _ablate=''):
     """Banded DCN forward: in-kernel coefficients + one-hot MXU select.
+
+    _ablate (dev-only, scripts/dev/ablate_band.py --v5): comma-set of
+    trace-time switches producing WRONG but shape/traffic-preserving
+    kernels whose timing deltas attribute the per-call cost:
+    'no_inw' drops the in-window indicator output, 'noselect' fakes
+    the NHWC field select-transposes, 'int_coef' prices the
+    integer-offset blend (single corner, half-width blend multiply).
 
     Fully "row-space": every per-tap quantity lives as a (1, NC) or
     (x, NC) array with band points on lanes, the bilinear lane-slot
@@ -311,6 +319,8 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
             EDVR-M L1 call — as much as the kernel itself.
     """
     TRACE_COUNTS['fwd'] += 1
+    abl = frozenset(filter(None, _ablate.split(',')))
+    assert not abl - {'no_inw', 'noselect', 'int_coef'}, abl
     g_ = geom
     NC, W, K, cout = g_.NC, g_.W, g_.K, g_.cout
     r, bw, dg = g_.r, g_.bw, g_.dg
@@ -336,7 +346,12 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
     out_h, out_w = g_.out_h, g_.out_w
 
     def kernel(sy_ref, stx_ref, off_ref, msk_ref, w_ref, tab_ref,
-               out_ref, inw_ref, win_ref, sem_ref):
+               out_ref, *rest):
+        if 'no_inw' in abl:
+            inw_ref = None
+            win_ref, sem_ref = rest
+        else:
+            inw_ref, win_ref, sem_ref = rest
         ni = pl.program_id(0)
         by = pl.program_id(1)
         bx = pl.program_id(2)
@@ -396,25 +411,32 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
         # transpose of the whole field.
         blk_o = off_ref[...].reshape(NC, Coff)
         blk_m = msk_ref[...].reshape(NC, Cmsk)
-        ia_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 0)
-        ic_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 1)
-        # v5: the select PERMUTES the interleaved (dy0, dx0, dy1, ...)
-        # field rows into [all K dy rows; all K dx rows] so the
-        # batched algebra below can slice them as contiguous (K, NC)
-        # sublane blocks
-        ia_perm = jnp.where(ia_o < K, 2 * ia_o, 2 * (ia_o - K) + 1)
-        sel_o = (ic_o == gi * (2 * K) + ia_perm).astype(jnp.float32)
-        ia_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 0)
-        ic_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 1)
-        sel_m = (ic_m == gi * K + ia_m).astype(jnp.float32)
-        rows_o = jax.lax.dot_general(
-            sel_o, blk_o, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (2K, NC)
-        rows_m = jax.lax.dot_general(
-            sel_m, blk_m, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (K, NC)
+        if 'noselect' in abl:
+            # ablation: fake the select-transposes with a scalar-
+            # dependent broadcast — keeps the field DMA, drops the dots
+            dep = blk_o[0, 0] * 1e-6
+            rows_o = jnp.zeros((2 * K, NC), jnp.float32) + dep
+            rows_m = jnp.ones((K, NC), jnp.float32) + dep
+        else:
+            ia_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 0)
+            ic_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 1)
+            # v5: the select PERMUTES the interleaved (dy0, dx0, dy1,
+            # ...) field rows into [all K dy rows; all K dx rows] so
+            # the batched algebra below can slice them as contiguous
+            # (K, NC) sublane blocks
+            ia_perm = jnp.where(ia_o < K, 2 * ia_o, 2 * (ia_o - K) + 1)
+            sel_o = (ic_o == gi * (2 * K) + ia_perm).astype(jnp.float32)
+            ia_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 0)
+            ic_m = jax.lax.broadcasted_iota(jnp.int32, (K, Cmsk), 1)
+            sel_m = (ic_m == gi * K + ia_m).astype(jnp.float32)
+            rows_o = jax.lax.dot_general(
+                sel_o, blk_o, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # (2K, NC)
+            rows_m = jax.lax.dot_general(
+                sel_m, blk_m, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # (K, NC)
         # edge bands read undefined memory at band-padding points:
         # zero those rows (select, not multiply — NaN*0 is NaN) so no
         # NaN from uninitialized memory can reach the selects/dots
@@ -444,21 +466,29 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
         ry0 = y0i - ty
         px0 = x0i - g_.SX * tx
         vy0 = ((y0i >= 0) & (y0i <= g_.h - 1)).astype(jnp.float32)
-        vy1 = ((y0i + 1 >= 0) &
-               (y0i + 1 <= g_.h - 1)).astype(jnp.float32)
         vx0 = ((x0i >= 0) & (x0i <= w_pix - 1)).astype(jnp.float32)
-        vx1 = ((x0i + 1 >= 0) &
-               (x0i + 1 <= w_pix - 1)).astype(jnp.float32)
-        wy0 = (1 - fy) * vy0 * rows_m
-        wy1 = fy * vy1 * rows_m
-        wx0 = (1 - fx) * vx0
-        wx1 = fx * vx1
+        if 'int_coef' in abl:
+            # ablation: price the integer-offset blend — one corner,
+            # no fractional algebra, half-width slot expansion
+            wy0 = vy0 * rows_m
+            wx0 = vx0
+            wy1 = wx1 = None
+        else:
+            vy1 = ((y0i + 1 >= 0) &
+                   (y0i + 1 <= g_.h - 1)).astype(jnp.float32)
+            vx1 = ((x0i + 1 >= 0) &
+                   (x0i + 1 <= w_pix - 1)).astype(jnp.float32)
+            wy0 = (1 - fy) * vy0 * rows_m
+            wy1 = fy * vy1 * rows_m
+            wx0 = (1 - fx) * vx0
+            wx1 = fx * vx1
 
         ry = ty - sy_b                                   # (K, NC)
         rx = tx + pad_tx_l - stx_b
-        inw_ref[0, 0, 0, 0, :, :] = (
-            ((ry >= 0) & (ry < span_y) &
-             (rx >= 0) & (rx < span_tx)) | pad_pt).astype(jnp.float32)
+        if inw_ref is not None:
+            inw_ref[0, 0, 0, 0, :, :] = (
+                ((ry >= 0) & (ry < span_y) &
+                 (rx >= 0) & (rx < span_tx)) | pad_pt).astype(jnp.float32)
 
         # Lane-slot expansion via slot-coefficient rows. Nonzero
         # bilinear weights can only land on row-slot 0/1 and
@@ -469,11 +499,17 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
         # 2*PX sublane broadcasts + ONE full multiply per tap.
         # Coefficients round to etype on the rows — the same rounding
         # the gather path applies.
-        ay0 = wy0 + jnp.where(ry0 == -1, wy1, 0.0)       # (K, NC)
-        ay1 = jnp.where(ry0 == 0, wy1, 0.0)
-        bxp = [jnp.where(px0 == ps, wx0, 0.0) +
-               jnp.where(px0 == ps - 1, wx1, 0.0)
-               for ps in range(PX)]                      # PX x (K, NC)
+        if 'int_coef' in abl:
+            ay0 = wy0                                    # (K, NC)
+            ay1 = None
+            bxp = [jnp.where(px0 == ps, wx0, 0.0)
+                   for ps in range(PX)]                  # PX x (K, NC)
+        else:
+            ay0 = wy0 + jnp.where(ry0 == -1, wy1, 0.0)   # (K, NC)
+            ay1 = jnp.where(ry0 == 0, wy1, 0.0)
+            bxp = [jnp.where(px0 == ps, wx0, 0.0) +
+                   jnp.where(px0 == ps - 1, wx1, 0.0)
+                   for ps in range(PX)]                  # PX x (K, NC)
 
         acc = jnp.zeros((NC, cout), jnp.float32)
         for k in range(K):
@@ -489,16 +525,21 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
                 win, onehot, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(etype)
 
+            half = PX * c_per
+            ayrs = (ay0,) if 'int_coef' in abl else (ay0, ay1)
             cparts = []
-            for ayr in (ay0, ay1):
+            for ayr in ayrs:
                 for ps in range(PX):
                     coef = (ayr[k:k + 1] *
                             bxp[ps][k:k + 1]).astype(etype)  # (1, NC)
                     cparts.append(jnp.broadcast_to(coef, (c_per, NC)))
-            cfullT = jnp.concatenate(cparts, axis=0)     # (128, NC)
-            blendT = gT * cfullT                         # (128, NC)
+            cfullT = jnp.concatenate(cparts, axis=0)
+            gTs = gT[:half] if 'int_coef' in abl else gT
+            wks = (w_ref[k, 0, :half] if 'int_coef' in abl
+                   else w_ref[k, 0])
+            blendT = gTs * cfullT
             acc = acc + jax.lax.dot_general(
-                blendT, w_ref[k, 0], (((0,), (0,)), ((), ())),
+                blendT, wks, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (NC, cout)
 
         # (NC, cout) -> (1, r, bw, cout): splitting NC into (r, bw)
@@ -515,7 +556,21 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
             out_ref[...] = out_ref[...] + acc
 
     grid = (g_.n, By, Bx, dg)
-    out, inw = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, r, bw, cout),
+                     lambda n, y, x, g: (n, y, x, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, 1, K, NC),
+                     lambda n, y, x, g: (g, n, y, x, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((g_.n, out_h, out_w, cout), jnp.float32),
+        jax.ShapeDtypeStruct((dg, g_.n, By, Bx, K, NC), jnp.float32),
+    ]
+    if 'no_inw' in abl:
+        out_specs, out_shapes = out_specs[:1], out_shapes[:1]
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -535,27 +590,17 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, r, bw, cout),
-                         lambda n, y, x, g: (n, y, x, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, K, NC),
-                         lambda n, y, x, g: (g, n, y, x, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (g_.n, out_h, out_w, cout), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (dg, g_.n, By, Bx, K, NC), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((2, span_y, span_tx, 128), etype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(start_y, start_tx8, off, msk, wexp, tab4)
-    return out, inw
+    if 'no_inw' in abl:
+        return res[0], None
+    return res[0], res[1]
 
 
 @functools.partial(jax.jit, static_argnames=('geom', 'interpret'))

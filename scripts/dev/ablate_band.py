@@ -221,6 +221,62 @@ def build_variant(geom, mode):
     return run
 
 
+def main_v5():
+    """Ablate the REAL shipped v5 kernel via band_forward(_ablate=...):
+    locates the cost of the in-kernel NHWC handling (field select-
+    transposes, inw indicator output) and prices the integer-offset
+    blend (the EDVR_TPU_DCN_QUANT=int fast-path upper bound)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    from edvr_tpu.ops import dcn_band
+
+    n, h, w = 5, 180, 320
+    cin = cout = 64
+    dg, K = 8, 9
+    c_per = cin // dg
+    SX = 128 // (2 * c_per) - 1
+    tiles_x = (w - 1) // SX + 1
+    g = dcn_band.BandGeom(n, h, tiles_x, h, w, 3, 3, dg, c_per, cout,
+                          1, 1, 1, r=8, bw=64, J=2, w_pix=w)
+    assert g.eligible()
+    print(f'v5 geom: span_y={g.span_y} span_tx={g.span_tx} W={g.W} '
+          f'NC={g.NC} steps={n * g.By * g.Bx * dg}', flush=True)
+
+    rng = np.random.RandomState(0)
+    tab4 = jnp.asarray(rng.randn(n, dg, h, g.tiles_x_pad, 128)
+                       .astype(np.float32)).astype(jnp.bfloat16)
+    offs = [jnp.asarray(rng.uniform(-2, 2, (n, h, w, dg * 2 * K))
+                        .astype(np.float32)) for _ in range(4)]
+    msk = jnp.asarray(rng.rand(n, h, w, dg * K).astype(np.float32))
+    wexp = jnp.asarray(rng.randn(K, dg, 128, cout)
+                       .astype(np.float32)).astype(jnp.bfloat16)
+
+    tiny = jax.jit(lambda v: (v * 2).mean())
+    ones = jnp.ones((8, 128))
+    float(tiny(ones))
+    overhead = min(
+        (lambda t0: (float(tiny(ones)), _t.time() - t0)[1])(_t.time())
+        for _ in range(5))
+
+    for mode in ('', 'no_inw', 'noselect', 'no_inw,noselect',
+                 'int_coef', 'no_inw,noselect,int_coef'):
+        fn = jax.jit(lambda t, o, m, w_, _m=mode: dcn_band.band_forward(
+            g, t, o, m, w_, _ablate=_m)[0].mean())
+        t0 = _t.time()
+        float(fn(tab4, offs[0], msk, wexp))
+        compile_s = _t.time() - t0
+        times = []
+        for o in offs[1:]:
+            t0 = _t.time()
+            float(fn(tab4, o, msk, wexp))
+            times.append(_t.time() - t0 - overhead)
+        label = mode or 'v5_full'
+        print(f'{label:28s}: {min(times) * 1000:7.1f} ms '
+              f'(compile {compile_s:.0f}s)', flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -293,4 +349,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--v5' in sys.argv:
+        main_v5()
+    else:
+        main()
