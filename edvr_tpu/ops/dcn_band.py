@@ -276,7 +276,8 @@ def point_coeffs(geom, dy, dx, m, pos_y, pos_x):
                 wx0=(1 - fx) * vx0, wx1=fx * vx1)
 
 
-@functools.partial(jax.jit, static_argnames=('geom', 'interpret'))
+@functools.partial(jax.jit,
+                   static_argnames=('geom', 'interpret', '_ablate'))
 def band_forward(geom, tab4, off, msk, wexp, interpret=False,
                  _ablate=''):
     """Banded DCN forward: in-kernel coefficients + one-hot MXU select.
