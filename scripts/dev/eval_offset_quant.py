@@ -64,9 +64,10 @@ def main():
     make_video_dataset(root, num_clips=1, frames=args.frames, hw=args.hw)
     gt_dir = osp.join(root, 'train_sharp', '000')
     lq_dir = osp.join(root, 'train_sharp_bicubic', '000')
-    gt = np.stack([cv2.imread(osp.join(gt_dir, f'{f:08d}.png'))
+    # the training pipeline feeds the model RGB (img2tensor bgr2rgb)
+    gt = np.stack([cv2.imread(osp.join(gt_dir, f'{f:08d}.png'))[..., ::-1]
                    for f in range(args.frames)]).astype(np.float32) / 255.
-    lq = np.stack([cv2.imread(osp.join(lq_dir, f'{f:08d}.png'))
+    lq = np.stack([cv2.imread(osp.join(lq_dir, f'{f:08d}.png'))[..., ::-1]
                    for f in range(args.frames)]).astype(np.float32) / 255.
 
     net = EDVR(num_in_ch=3, num_out_ch=3, num_feat=64, num_frame=5,
