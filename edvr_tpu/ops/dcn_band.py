@@ -287,9 +287,7 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False,
     kernels whose timing deltas attribute the per-call cost:
     'no_inw' drops the in-window indicator output, 'noselect' fakes
     the NHWC field select-transposes, 'int_coef' prices the
-    integer-offset coefficient algebra (single corner; post-v6 it
-    zeroes the second row-slot's products — its r4 measurement, −0.8
-    ms, is recorded in TPUDesign.md and the lever is refuted).
+    integer-offset blend (single corner, half-width blend multiply).
 
     Fully "row-space": every per-tap quantity lives as a (1, NC) or
     (x, NC) array with band points on lanes, the bilinear lane-slot
@@ -415,11 +413,11 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False,
         blk_o = off_ref[...].reshape(NC, Coff)
         blk_m = msk_ref[...].reshape(NC, Cmsk)
         if 'noselect' in abl:
-            # ablation: fake the select-transposes with constants (the
-            # field DMA still runs — Pallas pipelines every spec'd
-            # input block regardless of use)
-            rows_o = jnp.zeros((2 * K, NC), jnp.float32)
-            rows_m = jnp.ones((K, NC), jnp.float32)
+            # ablation: fake the select-transposes with a scalar-
+            # dependent broadcast — keeps the field DMA, drops the dots
+            dep = blk_o[0, 0] * 1e-6
+            rows_o = jnp.zeros((2 * K, NC), jnp.float32) + dep
+            rows_m = jnp.ones((K, NC), jnp.float32) + dep
         else:
             ia_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 0)
             ic_o = jax.lax.broadcasted_iota(jnp.int32, (2 * K, Coff), 1)
@@ -514,29 +512,6 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False,
                    jnp.where(px0 == ps - 1, wx1, 0.0)
                    for ps in range(PX)]                  # PX x (K, NC)
 
-        # v6: coefficient expansion on the MXU. The (128, NC) slot
-        # coefficient block cfullT is structurally
-        # cfullT[(rs, ps, c), p] = ayr_rs[p] * bxp_ps[p] — build the
-        # 2*PX distinct products as ONE broadcast-multiply, round to
-        # etype (identical rounding to the old per-part path), and
-        # expand slot rows to lane blocks with ONE exact one-hot etype
-        # matmul per tap (a one-hot bf16 dot with f32 accumulator
-        # copies single etype values exactly). Replaces the v5 path's
-        # 16 sublane broadcasts + concat per tap, whose Mosaic op
-        # dispatch dominated the per-point floor (component ablation,
-        # TPUDesign.md).
-        nslot = 2 * PX
-        ay_pair = jnp.stack(
-            [ay0, jnp.zeros_like(ay0) if ay1 is None else ay1],
-            axis=1)                                      # (K, 2, NC)
-        bx_stack = jnp.stack(bxp, axis=1)                # (K, PX, NC)
-        prod = (ay_pair[:, :, None, :] *
-                bx_stack[:, None, :, :]).reshape(K, nslot, NC)
-        prode = prod.astype(etype)                       # (K, 2PX, NC)
-        i_l = jax.lax.broadcasted_iota(jnp.int32, (128, nslot), 0)
-        i_q = jax.lax.broadcasted_iota(jnp.int32, (128, nslot), 1)
-        cexp = (i_l // c_per == i_q).astype(etype)       # (128, 2PX)
-
         acc = jnp.zeros((NC, cout), jnp.float32)
         for k in range(K):
             oy = (iota_y == ry[k:k + 1]).astype(etype)   # (span_y, NC)
@@ -551,12 +526,21 @@ def band_forward(geom, tab4, off, msk, wexp, interpret=False,
                 win, onehot, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(etype)
 
-            cfullT = jax.lax.dot_general(
-                cexp, prode[k], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(etype)
-            blendT = gT * cfullT
+            half = PX * c_per
+            ayrs = (ay0,) if 'int_coef' in abl else (ay0, ay1)
+            cparts = []
+            for ayr in ayrs:
+                for ps in range(PX):
+                    coef = (ayr[k:k + 1] *
+                            bxp[ps][k:k + 1]).astype(etype)  # (1, NC)
+                    cparts.append(jnp.broadcast_to(coef, (c_per, NC)))
+            cfullT = jnp.concatenate(cparts, axis=0)
+            gTs = gT[:half] if 'int_coef' in abl else gT
+            wks = (w_ref[k, 0, :half] if 'int_coef' in abl
+                   else w_ref[k, 0])
+            blendT = gTs * cfullT
             acc = acc + jax.lax.dot_general(
-                blendT, w_ref[k, 0], (((0,), (0,)), ((), ())),
+                blendT, wks, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (NC, cout)
 
         # (NC, cout) -> (1, r, bw, cout): splitting NC into (r, bw)
