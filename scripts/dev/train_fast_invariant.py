@@ -1,28 +1,42 @@
 """Fast fixed-seed EDVR learning invariant (minutes, not an hour).
 
 The 1500-iter `train_edvr_smoke.py` check is a weak signal: its
-bicubic-delta lands within +/-0.07 dB of zero and needs ~4000 iters for
-a clear pass. This harness asserts a much steeper, earlier invariant
-instead: with a FIXED seed on the same synthetic translating-texture
-data, the median Charbonnier training loss over the last 50 of 300
-iters must drop below a calibrated fraction of the first-25-iter
-median. A broken train step (dead gradients, mis-wired TSA mask, a
-band-kernel backward regression) flattens the slope immediately and
-fails this in ~3 minutes on the v5e, while day-to-day PSNR noise never
-touches it.
+bicubic-delta lands within +/-0.07 dB of zero and needs ~4000 iters
+for a clear pass. Per-iter TRAINING loss is no better at short
+horizons — measured on the v5e, the 300-iter head/tail median ratio of
+a healthy run is 0.93 (batch-sampling variance ~ the true drop). The
+robust fast signal is a FIXED held-aside batch: with sampling noise
+removed, the center-frame PSNR on that batch rises monotonically from
+the first hundred iters, and a broken train step (dead gradients,
+mis-wired TSA mask, a band-kernel backward regression) flattens it
+immediately.
 
-Calibration (v5e, 2026-08-20, seed 10): head median 0.1408, tail
-median 0.0161 -> ratio 0.114; two reruns within +/-10% of that ratio.
-The gate is ratio < 0.45 (4x margin over the measured slope; a step
-that learns at even a quarter of the healthy rate still passes, one
-that doesn't learn at all sits at ~1.0 and fails loudly).
+Calibration (v5e, 2026-08-20, seed 10, fixed 8-sample eval batch,
+tsa_iter = 90):
+
+    iter    0   eval PSNR 21.496 dB
+    iter  100   eval PSNR 22.130      <- TSA-only warmup phase
+    iter  500   eval PSNR 22.143
+    iter  600   eval PSNR 22.357      <- full-model phase progress
+    iter  900   eval PSNR 22.427      (gain +0.931 total, +0.297
+                                       after the warmup point)
+
+TWO gates, both far above fixed-batch eval noise (the trajectory is
+seeded end-to-end; run-to-run spread is TPU-scheduling level, ~1e-3
+dB): total gain at 900 iters >= +0.4 dB (healthy +0.93), and
+post-warmup gain (iter 100 -> 900) >= +0.1 dB (healthy +0.30). The
+second gate exists because the first 100 iters train ONLY the TSA
+fusion (tsa_iter grad mask): a regression that kills gradients to the
+PCD/DCN/reconstruction paths would still bank the warmup's +0.6 dB
+and pass a single total-gain gate. Wall clock ~6 min on the v5e
+including compile (~0.04 s/iter after).
 
 Drives the engine directly (create_model + feed_data +
-optimize_parameters) so every per-iter loss is recorded — the train
-CLI only logs at print_freq granularity.
+optimize_parameters / test) so the eval points are exact.
 
-Usage: python scripts/dev/train_fast_invariant.py [--iters 300]
-       (add --cpu for a plumbing check on the CPU backend)
+Usage: python scripts/dev/train_fast_invariant.py [--iters 900]
+       (add --cpu for a plumbing check on the CPU backend;
+        --calibrate prints the curve without asserting)
 """
 
 import argparse
@@ -38,16 +52,18 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 
 from train_edvr_smoke import make_video_dataset  # noqa: E402
 
-HEAD_WIN = 25
-TAIL_WIN = 50
-GATE = 0.45
+GATE_TOTAL_DB = 0.4
+GATE_POSTWARM_DB = 0.1
+EVAL_EVERY = 100
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--iters', type=int, default=300)
+    parser.add_argument('--iters', type=int, default=900)
     parser.add_argument('--cpu', action='store_true',
-                        help='run the tiny plumbing variant on CPU')
+                        help='run the plumbing variant on CPU')
+    parser.add_argument('--calibrate', action='store_true',
+                        help='print the eval curve, skip the assert')
     args = parser.parse_args()
     if args.cpu:
         os.environ['EDVR_TPU_PLATFORM'] = 'cpu'
@@ -87,8 +103,8 @@ def main():
             optim_g=dict(type='Adam', lr=4e-4, weight_decay=0,
                          betas=[0.9, 0.99]),
             scheduler=dict(type='CosineAnnealingRestartLR',
-                           periods=[args.iters], restart_weights=[1],
-                           eta_min=1e-6),
+                           periods=[max(args.iters, 600)],
+                           restart_weights=[1], eta_min=1e-6),
             total_iter=args.iters, warmup_iter=10,
             tsa_iter=max(args.iters // 10, 1), dcn_lr_mul=1,
             pixel_opt=dict(type='CharbonnierLoss', loss_weight=1.0,
@@ -104,8 +120,22 @@ def main():
                                dist=False, sampler=None, seed=10)
     model = create_model(opt)
 
-    losses = []
+    # fixed held-aside eval batch: sampling noise removed, so the PSNR
+    # trend is the learning signal itself
+    eval_batch = next(iter(loader))
+
+    def eval_psnr():
+        model.feed_data({'lq': eval_batch['lq']})
+        model.test()
+        out = np.clip(np.asarray(model.output, np.float64), 0, 1)
+        gt = np.asarray(eval_batch['gt'], np.float64)
+        mse = float(((out - gt) ** 2).mean())
+        return -10.0 * np.log10(mse)
+
     t0 = time.time()
+    curve = [(0, eval_psnr())]
+    print(f'iter {0:4d}  eval PSNR {curve[-1][1]:.3f} dB  '
+          f'({time.time() - t0:.0f}s)', flush=True)
     it = 0
     while it < args.iters:
         for batch in loader:
@@ -114,20 +144,29 @@ def main():
                 break
             model.feed_data(batch)
             model.optimize_parameters(it)
-            losses.append(float(model.get_current_log()['l_pix']))
-            if it in (1, HEAD_WIN, 100, 200, args.iters):
-                print(f'iter {it:4d}  l_pix {losses[-1]:.4f}  '
+            if it % EVAL_EVERY == 0 or it == args.iters:
+                curve.append((it, eval_psnr()))
+                print(f'iter {it:4d}  eval PSNR {curve[-1][1]:.3f} dB  '
                       f'({time.time() - t0:.0f}s)', flush=True)
 
-    head = float(np.median(losses[:HEAD_WIN]))
-    tail = float(np.median(losses[-TAIL_WIN:]))
-    ratio = tail / head
-    print(f'\nhead median (first {HEAD_WIN}) {head:.4f}  '
-          f'tail median (last {TAIL_WIN}) {tail:.4f}  '
-          f'ratio {ratio:.3f}  gate < {GATE}', flush=True)
-    assert ratio < GATE, (
-        f'learning invariant FAILED: loss ratio {ratio:.3f} >= {GATE} '
-        f'(healthy calibration ~0.11; the train step is not learning)')
+    gain = curve[-1][1] - curve[0][1]
+    at100 = dict(curve).get(EVAL_EVERY, curve[0][1])
+    postwarm = curve[-1][1] - at100
+    print(f'\neval-batch PSNR gain over {args.iters} iters: '
+          f'{gain:+.3f} dB (gate >= +{GATE_TOTAL_DB}), post-warmup '
+          f'{postwarm:+.3f} dB (gate >= +{GATE_POSTWARM_DB})',
+          flush=True)
+    if args.calibrate:
+        return
+    assert gain >= GATE_TOTAL_DB, (
+        f'learning invariant FAILED: fixed-batch PSNR gain {gain:+.3f} '
+        f'dB < +{GATE_TOTAL_DB} (healthy ~+0.93 at 900 iters; the '
+        f'train step is not learning)')
+    assert postwarm >= GATE_POSTWARM_DB, (
+        f'learning invariant FAILED: post-warmup gain {postwarm:+.3f} '
+        f'dB < +{GATE_POSTWARM_DB} (healthy ~+0.30) — the TSA-warmup '
+        f'phase learned but the full-model phase did not (check the '
+        f'tsa_iter grad mask / DCN backward)')
     print('OK: fast learning invariant holds.')
 
 
