@@ -137,14 +137,31 @@ class SRModel(BaseModel):
         mult = self._update_multipliers()
         mask, mask_until = self._freeze_mask()
         train_prec = self.opt['train'].get('matmul_precision')
+        # train.mixed_precision: bf16 — bf16 compute/activations with f32
+        # master params (grads come back f32 through the cast; Adam runs
+        # f32). bf16 keeps f32's exponent range so no loss scaling is
+        # needed; the loss itself is computed in f32. The win is HBM
+        # traffic: the backward re-reads every activation, and the MXU
+        # already rounds f32 operands to bf16 passes under the TPU
+        # default precision, so only storage precision changes.
+        mp = self.opt['train'].get('mixed_precision')
+        if mp not in (None, 'bf16'):
+            raise NotImplementedError(
+                f'mixed_precision {mp!r} is not supported (bf16 only).')
 
         def step_fn(params, opt_state, lq, gt, lr, cur_iter):
             def loss_fn(p):
+                x = lq
+                if mp == 'bf16':
+                    p = jax.tree_util.tree_map(
+                        lambda a: a.astype(jnp.bfloat16), p)
+                    x = lq.astype(jnp.bfloat16)
                 if train_prec:
                     with jax.default_matmul_precision(train_prec):
-                        output = net.apply({'params': p}, lq)
+                        output = net.apply({'params': p}, x)
                 else:
-                    output = net.apply({'params': p}, lq)
+                    output = net.apply({'params': p}, x)
+                output = output.astype(jnp.float32)
                 losses = {}
                 l_total = 0.
                 if cri_pix is not None:

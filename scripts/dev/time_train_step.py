@@ -26,6 +26,10 @@ def main():
                         help='also time fwd-only and fwd+bwd variants '
                              'and print the step decomposition '
                              '(fwd / bwd / optimizer)')
+    parser.add_argument('--mp', action='store_true',
+                        help='mixed-precision step: bf16 compute + '
+                             'activations, f32 master params (matches '
+                             'train.mixed_precision: bf16 in the engine)')
     args = parser.parse_args()
 
     import jax
@@ -59,7 +63,12 @@ def main():
     @jax.jit
     def step(params, opt_state, lq, gt):
         def loss_fn(p):
-            out = net.apply({'params': p}, lq)
+            x = lq
+            if args.mp:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), p)
+                x = lq.astype(jnp.bfloat16)
+            out = net.apply({'params': p}, x).astype(jnp.float32)
             return charbonnier_loss(out, gt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
@@ -101,6 +110,7 @@ def main():
         'crop_lq': c,
         'col2im': os.environ.get('EDVR_TPU_DCN_COL2IM', '0'),
         'band_min_p': os.environ.get('EDVR_TPU_DCN_BAND_MIN_P', '4096'),
+        'mixed_precision': 'bf16' if args.mp else 'f32',
         'ms_step': round(ms, 1),
         'steps_per_s': round(1e3 / ms, 2),
         'step_tflop': round(tflop, 3),
@@ -116,16 +126,20 @@ def main():
     # backward pass and the optimizer. The band kernel's own fwd/bwd
     # split at the train geometries comes from
     # scripts/dev/measure_band_dispatch.py (train L1/L2 rows).
+    def _apply(p, x):
+        if args.mp:
+            p = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), p)
+            x = x.astype(jnp.bfloat16)
+        return net.apply({'params': p}, x).astype(jnp.float32)
+
     @jax.jit
     def fwd_only(params, lq, gt):
-        out = net.apply({'params': params}, lq)
-        return charbonnier_loss(out, gt)
+        return charbonnier_loss(_apply(params, lq), gt)
 
     @jax.jit
     def fwd_bwd(params, lq, gt):
         def loss_fn(p):
-            out = net.apply({'params': p}, lq)
-            return charbonnier_loss(out, gt)
+            return charbonnier_loss(_apply(p, lq), gt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # pull one scalar that depends on every grad leaf so nothing
         # is dead-code-eliminated

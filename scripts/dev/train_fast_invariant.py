@@ -64,6 +64,10 @@ def main():
                         help='run the plumbing variant on CPU')
     parser.add_argument('--calibrate', action='store_true',
                         help='print the eval curve, skip the assert')
+    parser.add_argument('--mp', action='store_true',
+                        help='run the step under train.mixed_precision: '
+                             'bf16 — same gates; validates the '
+                             'mixed-precision path learns')
     args = parser.parse_args()
     if args.cpu:
         os.environ['EDVR_TPU_PLATFORM'] = 'cpu'
@@ -108,7 +112,8 @@ def main():
             total_iter=args.iters, warmup_iter=10,
             tsa_iter=max(args.iters // 10, 1), dcn_lr_mul=1,
             pixel_opt=dict(type='CharbonnierLoss', loss_weight=1.0,
-                           reduction='mean')),
+                           reduction='mean'),
+            **({'mixed_precision': 'bf16'} if args.mp else {})),
         'val': None,
         'logger': dict(print_freq=10**9, save_checkpoint_freq=10**9,
                        use_tb_logger=False),
