@@ -46,6 +46,12 @@ class SRGANModel(SRModel):
 
     def init_training_settings(self):
         train_opt = self.opt['train']
+        if train_opt.get('mixed_precision'):
+            # the GAN engines build their own G/D steps; fail loudly
+            # rather than silently training in f32 under an mp config
+            raise NotImplementedError(
+                'mixed_precision is only supported by the SRModel-step '
+                'family (SRModel/VideoBaseModel/EDVRModel).')
 
         self.net_d = define_network(deepcopy(self.opt['network_d']))
         self._init_d_params()

@@ -67,6 +67,12 @@ class StyleGAN2Model(BaseModel):
     def init_training_settings(self):
         opt = self.opt
         train_opt = opt['train']
+        if train_opt.get('mixed_precision'):
+            # this engine builds its own G/D/reg steps; fail loudly
+            # rather than silently training in f32 under an mp config
+            raise NotImplementedError(
+                'mixed_precision is only supported by the SRModel-step '
+                'family (SRModel/VideoBaseModel/EDVRModel).')
 
         self.net_d = define_network(deepcopy(opt['network_d']))
         seed = (opt.get('manual_seed') or 0) + 1

@@ -74,6 +74,17 @@ def test_mp_rejects_unknown_policy():
         create_model(_opt('fp16'))
 
 
+def test_mp_rejected_by_gan_engines():
+    """The GAN engines build their own G/D steps that do not implement
+    the policy — a config setting it must fail loudly, not silently
+    train in f32."""
+    from edvr_tpu.models import create_model
+    opt = _opt('bf16')
+    opt['model_type'] = 'SRGANModel'
+    with pytest.raises(NotImplementedError, match='mixed_precision'):
+        create_model(opt)
+
+
 def test_band_kernel_grads_under_bf16_inputs():
     """The band fwd+bwd kernels must differentiate correctly when the
     whole net runs in bf16 (mixed-precision training engages them at
