@@ -31,6 +31,14 @@ class SRModel(BaseModel):
     def __init__(self, opt):
         super().__init__(opt)
 
+        # validate the mixed-precision policy up front (not only inside
+        # _make_train_step) so a typo'd value fails loudly even for a
+        # test-mode config that carries a train block
+        mp = (opt.get('train') or {}).get('mixed_precision')
+        if mp not in (None, 'bf16'):
+            raise NotImplementedError(
+                f'mixed_precision {mp!r} is not supported (bf16 only).')
+
         self.net_g = define_network(deepcopy(opt['network_g']))
         self._init_params()
         self.print_network(self.net_g, self.params_g)

@@ -59,7 +59,11 @@ EVAL_EVERY = 100
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--iters', type=int, default=900)
+    parser.add_argument('--iters', type=int, default=900,
+                        help='gates are calibrated for the default 900 '
+                             'iters; must be >= %d so the post-warmup '
+                             'gate has its iter-%d eval point'
+                             % (EVAL_EVERY, EVAL_EVERY))
     parser.add_argument('--cpu', action='store_true',
                         help='run the plumbing variant on CPU')
     parser.add_argument('--calibrate', action='store_true',
@@ -69,6 +73,10 @@ def main():
                              'bf16 — same gates; validates the '
                              'mixed-precision path learns')
     args = parser.parse_args()
+    if not args.calibrate and args.iters < EVAL_EVERY:
+        parser.error(f'--iters must be >= {EVAL_EVERY}: without the '
+                     f'iter-{EVAL_EVERY} eval point the post-warmup '
+                     'gate would silently collapse into the total gate')
     if args.cpu:
         os.environ['EDVR_TPU_PLATFORM'] = 'cpu'
 

@@ -96,8 +96,14 @@ def test_band_kernel_grads_under_bf16_inputs():
     from edvr_tpu.ops import dcn_band
     case_bf16 = tuple(a.astype(jnp.bfloat16) for a in _case(11))
     refs = _run(case_bf16, band=False, grad=True)
+    # TRACE_COUNTS is cumulative across the whole pytest session, so
+    # assert it INCREASED over this specific band run — an absolute
+    # nonzero check is vacuous once test_dcn_band.py has already run
+    bwd_before = dcn_band.TRACE_COUNTS['bwd']
     gots = _run(case_bf16, band=True, grad=True)
-    assert dcn_band.TRACE_COUNTS['bwd'] > 0
+    assert dcn_band.TRACE_COUNTS['bwd'] > bwd_before, (
+        'band backward kernel was not traced for the bf16 case — the '
+        'path silently fell back to the gather implementation')
     for name, a, b in zip(['dx', 'doffset', 'dmask', 'dweight'], refs,
                           gots):
         a = np.asarray(a, dtype=np.float32)
