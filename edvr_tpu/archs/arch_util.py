@@ -233,6 +233,86 @@ class DCNv2Pack(nn.Module):
                                      self.dilation, self.groups, dg)
 
 
+class WarpAlignPack(nn.Module):
+    """Tap-shared deformable alignment — the TPU co-design variant of
+    :class:`DCNv2Pack` (round-5 quality/perf frontier work, not a
+    reference component).
+
+    DCNv2 predicts K=9 independent (offset, mask) pairs per deformable
+    group and pays a fractional gather per tap
+    (reference: deform_conv_cuda_kernel.cu:190-244 does this inside one
+    fused im2col+GEMM). On TPU those per-tap gathers are the measured
+    bottleneck of the whole model (docs/TPUDesign.md). This variant
+    predicts ONE (dy, dx, mask) per deformable group, bilinear-warps
+    each group's feature plane by it, and applies a DENSE k x k conv to
+    the warped planes:
+
+        y(p) = sum_k w_k . u(p + p_k),   u(q) = m(q) . x(q + d(q))
+
+    i.e. "warp the group plane, then dense conv" — the gather work
+    drops x K=9 and the tap reduction moves onto the MXU as a plain
+    conv. It is NOT algebraically equal to DCNv2 with tied taps (there
+    the offset field is evaluated at the output pixel p, here at each
+    tap q = p + p_k); it is a different alignment formulation whose
+    quality is gated on the training harness next to the exact op
+    (docs/TPUDesign.md "Alignment co-design frontier").
+
+    Init matches DCNv2Pack's start-as-plain-conv behavior
+    (deform_conv.py:377-381): conv_offset is zero-init, so offsets
+    start at 0 and the mask at sigmoid(0) = 0.5.
+
+    Parameters are NOT interchangeable with DCNv2Pack (conv_offset has
+    dg*3 output channels instead of dg*3*K and the main conv is a
+    standard flax Conv); select with ``align_variant: tap_shared`` in
+    an EDVR network config.
+    """
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    groups: int = 1
+    deformable_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, feat):
+        from edvr_tpu.ops.sampling import flow_warp
+        dg = self.deformable_groups
+        n, h, w, cin = x.shape
+        assert cin % dg == 0
+        out = Conv2d(dg * 3, self.kernel_size, stride=1,
+                     padding=(self.kernel_size - 1) // 2,
+                     dilation=self.dilation,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     name='conv_offset')(feat)
+        dy, dx, mask = jnp.split(out, 3, axis=-1)  # each (n, h, w, dg)
+        mask = nn.sigmoid(mask)
+
+        if os.environ.get('EDVR_TPU_PCD_NO_ALIGN') == '1':
+            # same ablation control as DCNv2Pack: freeze the warp at
+            # identity so the module degenerates to mask * dense conv
+            dy = jnp.zeros_like(jax.lax.stop_gradient(dy))
+            dx = jnp.zeros_like(jax.lax.stop_gradient(dx))
+
+        # fold groups into the batch dim: ONE batched bilinear gather
+        # for all groups (flow_warp's row-gather path, ops/sampling.py)
+        c_per = cin // dg
+        xg = x.reshape(n, h, w, dg, c_per).transpose(0, 3, 1, 2, 4)
+        xg = xg.reshape(n * dg, h, w, c_per)
+        flow = jnp.stack([dx, dy], axis=-1)  # (n, h, w, dg, 2), (dx, dy)
+        flow = flow.transpose(0, 3, 1, 2, 4).reshape(n * dg, h, w, 2)
+        warped = flow_warp(xg, flow, interp_mode='bilinear',
+                           padding_mode='zeros', align_corners=True)
+        warped = warped.reshape(n, dg, h, w, c_per)
+        warped = warped * mask.transpose(0, 3, 1, 2)[..., None]
+        warped = warped.transpose(0, 2, 3, 1, 4).reshape(n, h, w, cin)
+        return Conv2d(self.out_channels, self.kernel_size,
+                      stride=self.stride, padding=self.padding,
+                      dilation=self.dilation, groups=self.groups,
+                      name='conv')(warped)
+
+
 class Sequential(nn.Module):
     """Stack of blocks sharing a constructor, names block_0..block_{n-1}
     (equivalent of make_layer, reference: arch_util.py:51-64)."""

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from edvr_tpu.archs.arch_util import (Conv2d, DCNv2Pack, ResidualBlockNoBN,
-                                      lrelu, make_layer)
+                                      WarpAlignPack, lrelu, make_layer)
 from edvr_tpu.ops.resize import interpolate, pixel_shuffle
 from edvr_tpu.utils.registry import ARCH_REGISTRY
 
@@ -44,11 +44,16 @@ class PCDAlignment(nn.Module):
     (reference: edvr_arch.py:9-117)."""
     num_feat: int = 64
     deformable_groups: int = 8
+    # 'dcn' = exact DCNv2 (checkpoint-compatible with the reference);
+    # 'tap_shared' = warp-then-conv co-design variant (WarpAlignPack)
+    align_variant: str = 'dcn'
 
     @nn.compact
     def __call__(self, nbr_feat_l, ref_feat_l):
         """nbr_feat_l/ref_feat_l: tuples of 3 NHWC arrays (L1, L2, L3)."""
         nf = self.num_feat
+        pack_cls = {'dcn': DCNv2Pack,
+                    'tap_shared': WarpAlignPack}[self.align_variant]
         upsampled_offset, upsampled_feat = None, None
         feat = None
         for i in range(3, 0, -1):
@@ -67,10 +72,10 @@ class PCDAlignment(nn.Module):
                 offset = lrelu(Conv2d(nf, 3, padding=1,
                                       name=f'offset_conv3_{level}')(offset))
 
-            feat = DCNv2Pack(nf, 3, padding=1,
-                             deformable_groups=self.deformable_groups,
-                             name=f'dcn_pack_{level}')(nbr_feat_l[i - 1],
-                                                       offset)
+            feat = pack_cls(nf, 3, padding=1,
+                            deformable_groups=self.deformable_groups,
+                            name=f'dcn_pack_{level}')(nbr_feat_l[i - 1],
+                                                      offset)
             if i < 3:
                 feat = Conv2d(nf, 3, padding=1, name=f'feat_conv_{level}')(
                     jnp.concatenate([feat, upsampled_feat], axis=-1))
@@ -90,9 +95,9 @@ class PCDAlignment(nn.Module):
                               name='cas_offset_conv1')(offset))
         offset = lrelu(Conv2d(nf, 3, padding=1,
                               name='cas_offset_conv2')(offset))
-        feat = lrelu(DCNv2Pack(nf, 3, padding=1,
-                               deformable_groups=self.deformable_groups,
-                               name='cas_dcnpack')(feat, offset))
+        feat = lrelu(pack_cls(nf, 3, padding=1,
+                              deformable_groups=self.deformable_groups,
+                              name='cas_dcnpack')(feat, offset))
         return feat
 
 
@@ -229,6 +234,11 @@ class EDVR(nn.Module):
     # rematerialize residual trunks in the backward pass — trades FLOPs
     # for activation memory on the large (128ch/40-block) variants
     remat: bool = False
+    # alignment formulation: 'dcn' (exact DCNv2, official-checkpoint
+    # compatible) or 'tap_shared' (warp-then-conv co-design variant —
+    # see WarpAlignPack; a separate config family, quality-gated on the
+    # training harness, docs/TPUDesign.md "Alignment co-design")
+    align_variant: str = 'dcn'
 
     def setup(self):
         nf = self.num_feat
@@ -247,7 +257,8 @@ class EDVR(nn.Module):
         self.conv_l3_1 = Conv2d(nf, 3, stride=2, padding=1)
         self.conv_l3_2 = Conv2d(nf, 3, padding=1)
         self.pcd_align = PCDAlignment(
-            num_feat=nf, deformable_groups=self.deformable_groups)
+            num_feat=nf, deformable_groups=self.deformable_groups,
+            align_variant=self.align_variant)
         if self.with_tsa:
             self.fusion = TSAFusion(num_feat=nf, num_frame=self.num_frame,
                                     center_frame_idx=center)

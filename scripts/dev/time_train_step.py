@@ -30,6 +30,9 @@ def main():
                         help='mixed-precision step: bf16 compute + '
                              'activations, f32 master params (matches '
                              'train.mixed_precision: bf16 in the engine)')
+    parser.add_argument('--remat', action='store_true',
+                        help='rematerialize the residual trunks in the '
+                             'backward (network_g.remat: true)')
     args = parser.parse_args()
 
     import jax
@@ -52,7 +55,8 @@ def main():
     net = define_network(
         dict(type='EDVR', num_in_ch=3, num_out_ch=3, num_frame=5,
              deformable_groups=8, center_frame_idx=2, hr_in=False,
-             with_predeblur=False, with_tsa=True, **cfgs[args.config]))
+             with_predeblur=False, with_tsa=True, remat=args.remat,
+             **cfgs[args.config]))
     params = net.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 5, 16, 16, 3)))['params']
     tx = optax.adam(4e-4)
@@ -111,6 +115,7 @@ def main():
         'col2im': os.environ.get('EDVR_TPU_DCN_COL2IM', '0'),
         'band_min_p': os.environ.get('EDVR_TPU_DCN_BAND_MIN_P', '4096'),
         'mixed_precision': 'bf16' if args.mp else 'f32',
+        'remat': args.remat,
         'ms_step': round(ms, 1),
         'steps_per_s': round(1e3 / ms, 2),
         'step_tflop': round(tflop, 3),

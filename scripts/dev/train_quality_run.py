@@ -102,6 +102,13 @@ def main():
                              '"did the model or the schedule saturate" '
                              'extension (no optimizer state was saved)')
     parser.add_argument('--lr', type=float, default=4e-4)
+    parser.add_argument('--variant', default='dcn',
+                        choices=['dcn', 'tap_shared'],
+                        help='alignment formulation (EDVR align_variant '
+                             '— the round-5 co-design frontier axis)')
+    parser.add_argument('--dg', type=int, default=None,
+                        help='override deformable_groups (co-design '
+                             'frontier axis; default 8, tiny default 2)')
     args = parser.parse_args()
     if args.tiny:
         import jax
@@ -110,6 +117,10 @@ def main():
         os.environ['EDVR_TPU_PCD_NO_ALIGN'] = '1'
         if args.name == 'quality_run_r2':
             args.name = 'quality_ablation_noalign'
+    if args.name == 'quality_run_r2' and (args.variant != 'dcn'
+                                          or args.dg is not None):
+        args.name = (f'quality_codesign_{args.variant}'
+                     + (f'_dg{args.dg}' if args.dg is not None else ''))
 
     out_dir = (tempfile.mkdtemp(prefix='quality_tiny_') if args.tiny
                else osp.join(REPO, 'experiments', args.name))
@@ -158,11 +169,13 @@ def main():
         },
         'network_g': dict(type='EDVR', num_in_ch=3, num_out_ch=3,
                           num_feat=16 if args.tiny else 64, num_frame=5,
-                          deformable_groups=2 if args.tiny else 8,
+                          deformable_groups=(args.dg if args.dg is not None
+                                             else 2 if args.tiny else 8),
                           num_extract_block=1 if args.tiny else 5,
                           num_reconstruct_block=1 if args.tiny else 10,
                           center_frame_idx=None, hr_in=False,
-                          with_predeblur=False, with_tsa=True),
+                          with_predeblur=False, with_tsa=True,
+                          align_variant=args.variant),
         'path': dict(pretrain_network_g=args.pretrain,
                      strict_load_g=True, resume_state=None),
         'train': dict(
@@ -228,7 +241,11 @@ def main():
                   ('WARM START from '
                    f'{osp.basename(args.pretrain)} ' if args.pretrain
                    else '') +
-                  'EDVR-M (64f/8dg/5+10 blocks, TSA), B'
+                  (f'CO-DESIGN VARIANT align_variant={args.variant} '
+                   if args.variant != 'dcn' else '') +
+                  'EDVR-M (64f/'
+                  f"{opt['network_g']['deformable_groups']}dg/"
+                  '5+10 blocks, TSA), B'
                   f'{args.batch}/{args.hw}px GT crops, Charbonnier, '
                   f'Adam {args.lr:g} cosine->1e-7, tsa_iter={tsa_iter}',
         'iters': args.iters,

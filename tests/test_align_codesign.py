@@ -1,0 +1,166 @@
+"""Tests for the tap-shared alignment co-design variant
+(WarpAlignPack / EDVR align_variant='tap_shared').
+
+The variant is a TPU-first reformulation of the PCD alignment op
+(one offset+mask per deformable group, bilinear group warp, dense
+conv on the MXU) — not a reference component; its quality is gated on
+the training harness (docs/TPUDesign.md "Alignment co-design").
+These tests pin its math: start-as-plain-conv init (the DCNv2Pack
+contract, reference deform_conv.py:377-381), warp direction
+conventions, gradient flow, and the EDVR config plumbing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edvr_tpu.archs import define_network
+from edvr_tpu.archs.arch_util import WarpAlignPack
+
+
+def _rand(shape, seed):
+    return jnp.asarray(
+        np.random.RandomState(seed).rand(*shape).astype(np.float32))
+
+
+@pytest.fixture(scope='module')
+def pack_and_params():
+    m = WarpAlignPack(16, 3, padding=1, deformable_groups=4)
+    x = _rand((2, 8, 8, 16), 0)
+    feat = _rand((2, 8, 8, 16), 1)
+    v = m.init(jax.random.PRNGKey(0), x, feat)
+    return m, v, x, feat
+
+
+def test_init_is_plain_conv_of_half_input(pack_and_params):
+    """Zero-init conv_offset => identity warp, mask 0.5 => the module
+    must reduce exactly to a dense conv of 0.5*x (the same
+    start-as-plain-conv behavior DCNv2Pack inherits from the
+    reference's zero-initialized conv_offset)."""
+    m, v, x, feat = pack_and_params
+    y = m.apply(v, x, feat)
+    k = v['params']['conv']['conv']['kernel']
+    b = v['params']['conv']['conv']['bias']
+    want = jax.lax.conv_general_dilated(
+        0.5 * x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               atol=1e-6)
+
+
+def test_integer_shift_matches_rolled_input():
+    """Force dx=+1 for every group (via the conv_offset bias) and
+    mask->1: the warp must sample x at column j+1, i.e. the output
+    equals the dense conv of x shifted LEFT by one column with zero
+    fill — pins the (dx, dy) channel order and sign convention."""
+    m = WarpAlignPack(8, 3, padding=1, deformable_groups=2)
+    x = _rand((1, 6, 6, 8), 2)
+    feat = jnp.zeros((1, 6, 6, 8))
+    v = m.init(jax.random.PRNGKey(1), x, feat)
+    dg = 2
+    bias = np.zeros(3 * dg, np.float32)
+    bias[dg:2 * dg] = 1.0     # dx = +1 (layout: [dy | dx | mask])
+    bias[2 * dg:] = 100.0     # mask logit -> sigmoid ~ 1
+    params = jax.tree_util.tree_map(lambda a: a, v['params'])
+    params['conv_offset']['conv']['bias'] = jnp.asarray(bias)
+
+    y = m.apply({'params': params}, x, feat)
+
+    shifted = jnp.concatenate(
+        [x[:, :, 1:], jnp.zeros_like(x[:, :, :1])], axis=2)
+    k = params['conv']['conv']['kernel']
+    b = params['conv']['conv']['bias']
+    want = jax.lax.conv_general_dilated(
+        shifted, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_offset_gradients_flow(pack_and_params):
+    """The loss gradient must reach conv_offset (the warp is
+    differentiable in the offsets) and the main conv."""
+    m, v, x, feat = pack_and_params
+
+    def loss(params):
+        y = m.apply({'params': params}, x, feat)
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(v['params'])
+    g_off = g['conv_offset']['conv']['kernel']
+    g_conv = g['conv']['conv']['kernel']
+    assert float(jnp.abs(g_off).max()) > 0, 'no gradient to conv_offset'
+    assert float(jnp.abs(g_conv).max()) > 0, 'no gradient to main conv'
+
+
+def test_no_align_env_freezes_warp(pack_and_params, monkeypatch):
+    """EDVR_TPU_PCD_NO_ALIGN=1 must freeze the warp at identity for
+    the variant too (same ablation control as DCNv2Pack)."""
+    m, v, x, feat = pack_and_params
+    params = jax.tree_util.tree_map(lambda a: a, v['params'])
+    # non-zero offsets via the bias; with the env set they are ignored
+    bias = np.zeros(3 * 4, np.float32)
+    bias[:8] = 1.7
+    params['conv_offset']['conv']['bias'] = jnp.asarray(bias)
+    moved = m.apply({'params': params}, x, feat)
+    monkeypatch.setenv('EDVR_TPU_PCD_NO_ALIGN', '1')
+    frozen = m.apply({'params': params}, x, feat)
+    assert float(jnp.abs(moved - frozen).max()) > 1e-4
+    k = params['conv']['conv']['kernel']
+    b = params['conv']['conv']['bias']
+    want = jax.lax.conv_general_dilated(
+        0.5 * x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b
+    np.testing.assert_allclose(np.asarray(frozen), np.asarray(want),
+                               atol=1e-6)
+
+
+EDVR_TINY = dict(type='EDVR', num_in_ch=3, num_out_ch=3, num_feat=16,
+                 num_frame=5, deformable_groups=4, num_extract_block=1,
+                 num_reconstruct_block=1, center_frame_idx=None,
+                 hr_in=False, with_predeblur=False, with_tsa=True)
+
+
+def test_edvr_variant_forward_and_grads():
+    """EDVR(align_variant='tap_shared') builds, jits, produces x4
+    output, and backprops into the alignment offsets of all 4 DCN
+    sites (3 pyramid levels + cascade)."""
+    net = define_network(dict(EDVR_TINY, align_variant='tap_shared'))
+    x = _rand((1, 5, 16, 16, 3), 3)
+    v = net.init(jax.random.PRNGKey(0), x)
+    y = jax.jit(net.apply)(v, x)
+    assert y.shape == (1, 64, 64, 3)
+
+    def loss(params):
+        return jnp.sum(net.apply({'params': params}, x) ** 2)
+
+    g = jax.grad(loss)(v['params'])
+    pcd = g['pcd_align']
+    for site in ('dcn_pack_l1', 'dcn_pack_l2', 'dcn_pack_l3',
+                 'cas_dcnpack'):
+        gk = pcd[site]['conv_offset']['conv']['kernel']
+        assert float(jnp.abs(gk).max()) > 0, f'no offset grad at {site}'
+
+
+def test_edvr_variant_param_count_is_smaller():
+    """The variant must actually shed the K=9 per-tap offset heads:
+    conv_offset shrinks from dg*3*K to dg*3 channels at every site."""
+    x = jnp.zeros((1, 5, 16, 16, 3))
+    p_dcn = define_network(dict(EDVR_TINY)).init(
+        jax.random.PRNGKey(0), x)['params']
+    p_ts = define_network(dict(EDVR_TINY, align_variant='tap_shared')
+                          ).init(jax.random.PRNGKey(0), x)['params']
+    dg = EDVR_TINY['deformable_groups']
+    k_dcn = p_dcn['pcd_align']['dcn_pack_l1']['conv_offset']['conv'][
+        'kernel']
+    k_ts = p_ts['pcd_align']['dcn_pack_l1']['conv_offset']['conv'][
+        'kernel']
+    assert k_dcn.shape[-1] == dg * 3 * 9
+    assert k_ts.shape[-1] == dg * 3
+
+
+def test_unknown_variant_raises():
+    net = define_network(dict(EDVR_TINY, align_variant='nope'))
+    with pytest.raises(KeyError):
+        net.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)))
