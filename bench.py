@@ -56,10 +56,17 @@ def main():
     # (128 feat, 40 recon blocks, docs/ModelZoo.md:106-109); default M
     variant = os.environ.get('EDVR_TPU_BENCH_VARIANT', 'M').upper()
     feat, recon = (128, 40) if variant == 'L' else (64, 10)
+    # co-design frontier knobs (docs/TPUDesign.md "Alignment co-design"):
+    # EDVR_TPU_BENCH_ALIGN=tap_shared selects the warp-then-conv
+    # alignment, EDVR_TPU_BENCH_DG overrides deformable_groups — so
+    # variant fps is measured under the EXACT headline protocol
+    align = os.environ.get('EDVR_TPU_BENCH_ALIGN', 'dcn')
+    dg = int(os.environ.get('EDVR_TPU_BENCH_DG', '8'))
     net = EDVR(num_in_ch=3, num_out_ch=3, num_feat=feat, num_frame=5,
-               deformable_groups=8, num_extract_block=5,
+               deformable_groups=dg, num_extract_block=5,
                num_reconstruct_block=recon, center_frame_idx=2,
-               hr_in=False, with_predeblur=False, with_tsa=True)
+               hr_in=False, with_predeblur=False, with_tsa=True,
+               align_variant=align)
     variables = net.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 5, 16, 16, 3)))
     rng = np.random.RandomState(0)
@@ -114,7 +121,9 @@ def main():
                   '(180x320x5 windows) '
                   'frames/sec/chip (whole-clip eval, '
                   f'{"bf16" if bf16 else "f32"} params, '
-                  'TPU-default matmul precision)',
+                  'TPU-default matmul precision'
+                  + (f', align={align}' if align != 'dcn' else '')
+                  + (f', dg={dg}' if dg != 8 else '') + ')',
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / baseline_fps, 3),

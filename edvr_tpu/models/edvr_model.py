@@ -12,6 +12,8 @@ requires_grad=False behavior).
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 from edvr_tpu.models.video_base_model import VideoBaseModel
@@ -38,6 +40,17 @@ class EDVRModel(VideoBaseModel):
     def __init__(self, opt):
         super().__init__(opt)
         if self.is_train:
+            if os.environ.get('EDVR_TPU_DCN_QUANT'):
+                # the quantization knob snaps sample positions through
+                # jnp.round, whose gradient is zero — training with it
+                # set would silently freeze offset learning (measured
+                # trade study: docs/TPUDesign.md "DCN env-knob
+                # reference"). Inference-only; refuse loudly here.
+                raise RuntimeError(
+                    'EDVR_TPU_DCN_QUANT is an inference-only '
+                    'approximation knob: jnp.round has zero gradient, '
+                    'so training with it set would freeze DCN offset '
+                    'learning. Unset it for training runs.')
             self.train_tsa_iter = opt['train'].get('tsa_iter')
 
     def _update_multipliers(self):
