@@ -276,7 +276,6 @@ class WarpAlignPack(nn.Module):
 
     @nn.compact
     def __call__(self, x, feat):
-        from edvr_tpu.ops.sampling import flow_warp
         dg = self.deformable_groups
         n, h, w, cin = x.shape
         assert cin % dg == 0
@@ -295,18 +294,20 @@ class WarpAlignPack(nn.Module):
             dy = jnp.zeros_like(jax.lax.stop_gradient(dy))
             dx = jnp.zeros_like(jax.lax.stop_gradient(dx))
 
-        # fold groups into the batch dim: ONE batched bilinear gather
-        # for all groups (flow_warp's row-gather path, ops/sampling.py)
-        c_per = cin // dg
-        xg = x.reshape(n, h, w, dg, c_per).transpose(0, 3, 1, 2, 4)
-        xg = xg.reshape(n * dg, h, w, c_per)
-        flow = jnp.stack([dx, dy], axis=-1)  # (n, h, w, dg, 2), (dx, dy)
-        flow = flow.transpose(0, 3, 1, 2, 4).reshape(n * dg, h, w, 2)
-        warped = flow_warp(xg, flow, interp_mode='bilinear',
-                           padding_mode='zeros', align_corners=True)
-        warped = warped.reshape(n, dg, h, w, c_per)
-        warped = warped * mask.transpose(0, 3, 1, 2)[..., None]
-        warped = warped.transpose(0, 2, 3, 1, 4).reshape(n, h, w, cin)
+        # The masked group warp IS a K=1 modulated deformable conv with
+        # an identity 1x1 weight: sample position = own pixel + (dy,
+        # dx), zero OOB, mask applied to the sampled value. Expressing
+        # it that way rides the op stack's measured dispatch — the
+        # banded one-hot Pallas kernels on TPU (at 1/9th of the K=9
+        # per-point and selection work) and the packed row-gather path
+        # elsewhere — plus their tested custom VJPs, instead of a
+        # bespoke gather. The identity contraction is MXU noise next to
+        # the selection work it replaces.
+        off1 = jnp.stack([dy, dx], axis=-1).reshape(n, h, w, dg * 2)
+        eye = jnp.eye(cin, dtype=x.dtype).reshape(1, 1, cin, cin)
+        warped = modulated_deform_conv(
+            x, off1, mask, eye, None, stride=1, padding=0, dilation=1,
+            groups=1, deformable_groups=dg)
         return Conv2d(self.out_channels, self.kernel_size,
                       stride=self.stride, padding=self.padding,
                       dilation=self.dilation, groups=self.groups,

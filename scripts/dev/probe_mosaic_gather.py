@@ -58,6 +58,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if args.interpret or os.environ.get('EDVR_TPU_PLATFORM') == 'cpu':
+        # the environment's sitecustomize pre-registers the axon TPU
+        # backend and overrides JAX_PLATFORMS; forcing CPU must happen
+        # via jax.config AFTER import (CLAUDE.md "Environment gotchas")
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl
@@ -166,6 +171,10 @@ def main():
     unlocked = any('ok' in str(r.get('vector_take', '')) or
                    'ok' in str(r.get('take_along_axis', ''))
                    for r in report['results'])
+    if args.interpret:
+        # the interpreter accepts everything — only a real Mosaic
+        # lowering answers the question
+        unlocked = 'n/a (interpret mode — run on the TPU backend)'
     report['vmem_gather_unlocked'] = unlocked
     print(json.dumps({'vmem_gather_unlocked': unlocked,
                       'consumer': 'edvr_tpu/ops/dcn_pallas.py',

@@ -78,6 +78,40 @@ def test_integer_shift_matches_rolled_input():
                                atol=1e-5)
 
 
+def test_warp_core_matches_flow_warp_oracle():
+    """The module's K=1 modulated-deform-conv warp (identity 1x1
+    weight) must equal the independent flow_warp implementation
+    (ops/sampling.py) applied per group — two formulations of the same
+    masked bilinear warp."""
+    from edvr_tpu.ops.dcn import modulated_deform_conv
+    from edvr_tpu.ops.sampling import flow_warp
+    n, h, w, cin, dg = 2, 10, 12, 8, 2
+    c_per = cin // dg
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32))
+    dy = jnp.asarray(rng.uniform(-3, 3, (n, h, w, dg)).astype(np.float32))
+    dx = jnp.asarray(rng.uniform(-3, 3, (n, h, w, dg)).astype(np.float32))
+    mask = jnp.asarray(rng.rand(n, h, w, dg).astype(np.float32))
+
+    off1 = jnp.stack([dy, dx], axis=-1).reshape(n, h, w, dg * 2)
+    eye = jnp.eye(cin, dtype=x.dtype).reshape(1, 1, cin, cin)
+    got = modulated_deform_conv(x, off1, mask, eye, None, stride=1,
+                                padding=0, dilation=1, groups=1,
+                                deformable_groups=dg)
+
+    xg = x.reshape(n, h, w, dg, c_per).transpose(0, 3, 1, 2, 4).reshape(
+        n * dg, h, w, c_per)
+    flow = jnp.stack([dx, dy], axis=-1).transpose(0, 3, 1, 2, 4).reshape(
+        n * dg, h, w, 2)
+    warped = flow_warp(xg, flow, interp_mode='bilinear',
+                       padding_mode='zeros', align_corners=True)
+    warped = warped.reshape(n, dg, h, w, c_per)
+    warped = warped * mask.transpose(0, 3, 1, 2)[..., None]
+    want = warped.transpose(0, 2, 3, 1, 4).reshape(n, h, w, cin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+
 def test_offset_gradients_flow(pack_and_params):
     """The loss gradient must reach conv_offset (the warp is
     differentiable in the offsets) and the main conv."""
