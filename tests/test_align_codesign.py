@@ -112,6 +112,57 @@ def test_warp_core_matches_flow_warp_oracle():
                                atol=2e-5)
 
 
+def test_warp_core_band_kernel_k1(monkeypatch):
+    """On TPU the K=1 warp rides the banded Pallas kernels
+    (1/9th of the K=9 selection work). Prove the band fwd+bwd handle
+    K=1 exactly (interpret mode; conftest pins f32 matmul precision so
+    band and gather paths quantize identically)."""
+    from edvr_tpu.ops import dcn, dcn_band
+    from edvr_tpu.ops.sampling import flow_warp
+    monkeypatch.setenv('EDVR_TPU_DCN_BAND', '1')
+    monkeypatch.setenv('EDVR_TPU_DCN_BAND_INTERPRET', '1')
+    monkeypatch.setenv('EDVR_TPU_DCN_BAND_MIN_P', '1024')
+    n, h, w, cin, dg = 1, 32, 64, 16, 2
+    c_per = cin // dg
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32))
+    dy = jnp.asarray(rng.uniform(-3, 3, (n, h, w, dg)).astype(np.float32))
+    dx = jnp.asarray(rng.uniform(-3, 3, (n, h, w, dg)).astype(np.float32))
+    mask = jnp.asarray(rng.rand(n, h, w, dg).astype(np.float32))
+    off1 = jnp.stack([dy, dx], axis=-1).reshape(n, h, w, dg * 2)
+    eye = jnp.eye(cin, dtype=x.dtype).reshape(1, 1, cin, cin)
+
+    fwd_before = dcn_band.TRACE_COUNTS['fwd']
+    got = dcn.modulated_deform_conv(x, off1, mask, eye, None, stride=1,
+                                    padding=0, dilation=1, groups=1,
+                                    deformable_groups=dg)
+    assert dcn_band.TRACE_COUNTS['fwd'] > fwd_before, \
+        'K=1 case did not dispatch to the band kernel'
+
+    xg = x.reshape(n, h, w, dg, c_per).transpose(0, 3, 1, 2, 4).reshape(
+        n * dg, h, w, c_per)
+    flow = jnp.stack([dx, dy], axis=-1).transpose(0, 3, 1, 2, 4).reshape(
+        n * dg, h, w, 2)
+    warped = flow_warp(xg, flow, interp_mode='bilinear',
+                       padding_mode='zeros', align_corners=True)
+    warped = warped.reshape(n, dg, h, w, c_per)
+    warped = warped * mask.transpose(0, 3, 1, 2)[..., None]
+    want = warped.transpose(0, 2, 3, 1, 4).reshape(n, h, w, cin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+    # backward: band bwd kernel must trace and produce finite grads
+    def f(x_, off_, m_):
+        out = dcn.modulated_deform_conv(x_, off_, m_, eye, None, 1, 0,
+                                        1, 1, dg)
+        return jnp.sum(out * jnp.cos(out * 3))
+
+    bwd_before = dcn_band.TRACE_COUNTS['bwd']
+    g = jax.grad(f, argnums=(0, 1, 2))(x, off1, mask)
+    assert dcn_band.TRACE_COUNTS['bwd'] > bwd_before
+    assert all(bool(jnp.isfinite(a).all()) for a in g)
+
+
 def test_offset_gradients_flow(pack_and_params):
     """The loss gradient must reach conv_offset (the warp is
     differentiable in the offsets) and the main conv."""
