@@ -72,6 +72,12 @@ def main():
                         help='run the step under train.mixed_precision: '
                              'bf16 — same gates; validates the '
                              'mixed-precision path learns')
+    parser.add_argument('--seed', type=int, default=10,
+                        help='model-init / sampling / eval-batch seed '
+                             '(synthetic data stays seed-0 so the task '
+                             'is identical); the gates are calibrated '
+                             'against seeds 10 and 17 — see the '
+                             'docstring calibration table')
     args = parser.parse_args()
     if not args.calibrate and args.iters < EVAL_EVERY:
         parser.error(f'--iters must be >= {EVAL_EVERY}: without the '
@@ -99,7 +105,8 @@ def main():
         dataset_enlarge_ratio=100, prefetch_mode=None)
     opt = {
         'name': 'edvr_fastinv', 'model_type': 'EDVRModel', 'scale': 4,
-        'num_gpu': 1, 'manual_seed': 10, 'is_train': True, 'dist': False,
+        'num_gpu': 1, 'manual_seed': args.seed, 'is_train': True,
+        'dist': False,
         'rank': 0, 'world_size': 1,
         'datasets': {'train': train_ds_opt},
         'network_g': dict(type='EDVR', num_in_ch=3, num_out_ch=3,
@@ -127,10 +134,10 @@ def main():
                        use_tb_logger=False),
     }
 
-    np.random.seed(10)
+    np.random.seed(args.seed)
     dataset = create_dataset(train_ds_opt)
     loader = create_dataloader(dataset, train_ds_opt, num_gpu=1,
-                               dist=False, sampler=None, seed=10)
+                               dist=False, sampler=None, seed=args.seed)
     model = create_model(opt)
 
     # fixed held-aside eval batch: sampling noise removed, so the PSNR
