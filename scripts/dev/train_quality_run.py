@@ -227,14 +227,24 @@ def main():
     final = [float(arr.mean(axis=0)[0])
              for arr in model.metric_results.values()]
     final_psnr = float(np.mean(final))
+    # the train loop's end-of-training validation is logged as
+    # iter args.iters+1 — drop it (same state as the final point) and
+    # keep exactly one row per iter so the committed evidence file has
+    # no duplicate/overshoot tail (r4 advisor finding)
+    curve = [pt for pt in curve if pt['iter'] <= args.iters]
     if not curve or curve[-1]['iter'] != args.iters:
         curve.append({'iter': args.iters, 'psnr': final_psnr})
 
     with open(osp.join(out_dir, 'curve.jsonl'), 'w') as fh:
-        fh.write(json.dumps({'iter': 0, 'psnr': base_psnr,
+        fh.write(json.dumps({'iter': 0, 'psnr': round(base_psnr, 4),
                              'note': 'bicubic baseline'}) + '\n')
+        seen = set()
         for pt in curve:
-            fh.write(json.dumps(pt) + '\n')
+            if pt['iter'] in seen:
+                continue
+            seen.add(pt['iter'])
+            fh.write(json.dumps({'iter': pt['iter'],
+                                 'psnr': round(pt['psnr'], 4)}) + '\n')
     summary = {
         'config': ('NO-ALIGN CONTROL (PCD offsets frozen at zero) '
                    if args.no_align else '') +
