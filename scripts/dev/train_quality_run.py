@@ -110,6 +110,10 @@ def main():
                         help='override deformable_groups (co-design '
                              'frontier axis; default 8, tiny default 2)')
     args = parser.parse_args()
+    if args.pretrain:
+        # main() runs under os.chdir(workdir) — resolve now so a
+        # repo-relative checkpoint path survives the move
+        args.pretrain = osp.abspath(args.pretrain)
     if args.tiny:
         import jax
         jax.config.update('jax_platforms', 'cpu')
