@@ -11,20 +11,24 @@ the first hundred iters, and a broken train step (dead gradients,
 mis-wired TSA mask, a band-kernel backward regression) flattens it
 immediately.
 
-Calibration (v5e, 2026-08-20, seed 10, fixed 8-sample eval batch,
-tsa_iter = 90):
+Calibration (v5e, 2026-08-20, fixed 8-sample eval batch,
+tsa_iter = 90), two independent seeds:
 
-    iter    0   eval PSNR 21.496 dB
-    iter  100   eval PSNR 22.130      <- TSA-only warmup phase
-    iter  500   eval PSNR 22.143
-    iter  600   eval PSNR 22.357      <- full-model phase progress
-    iter  900   eval PSNR 22.427      (gain +0.931 total, +0.297
-                                       after the warmup point)
+    seed 10                            seed 17
+    iter    0   21.496 dB              21.639 dB
+    iter  100   22.130  <- warmup      22.173
+    iter  500   22.143                 22.477
+    iter  600   22.357  <- full-model  22.493
+    iter  900   22.427                 22.497
+    total gain  +0.931                 +0.858
+    post-warmup +0.297                 +0.325
 
-TWO gates, both far above fixed-batch eval noise (the trajectory is
+TWO gates, both far above fixed-batch eval noise (each trajectory is
 seeded end-to-end; run-to-run spread is TPU-scheduling level, ~1e-3
-dB): total gain at 900 iters >= +0.4 dB (healthy +0.93), and
-post-warmup gain (iter 100 -> 900) >= +0.1 dB (healthy +0.30). The
+dB) and confirmed across both calibration seeds (worst case +0.86 /
++0.30 vs gates +0.4 / +0.1 — >2x margin on the total, 3x on the
+post-warmup): total gain at 900 iters >= +0.4 dB, and
+post-warmup gain (iter 100 -> 900) >= +0.1 dB. The
 second gate exists because the first 100 iters train ONLY the TSA
 fusion (tsa_iter grad mask): a regression that kills gradients to the
 PCD/DCN/reconstruction paths would still bank the warmup's +0.6 dB
