@@ -30,6 +30,27 @@ def dump(relpath, opt):
     # comments; the committed files carry this explanation)
     text = text.replace('\n  clip_mode: true',
                         '\n' + _CLIP_MODE_COMMENT + '  clip_mode: true')
+    # network_g is emitted flow-style, so the variant note goes on the
+    # line above the block
+    text = text.replace(
+        '\nnetwork_g: {type: EDVR, num_in_ch: 3, num_out_ch: 3, '
+        'num_feat: 64, num_frame: 5, deformable_groups: 8,\n'
+        '  num_extract_block: 5, num_reconstruct_block: 10, '
+        'center_frame_idx: null, hr_in: false,\n'
+        '  with_predeblur: false, with_tsa: true, '
+        'align_variant: tap_shared}',
+        '\n# align_variant tap_shared = TPU co-design track: one '
+        'offset/mask per\n'
+        '# deformable group (WarpAlignPack warp-then-dense-conv), NOT\n'
+        '# checkpoint-compatible with DCNv2Pack. Measured frontier vs '
+        'the exact op:\n'
+        '# docs/TPUDesign.md "Alignment co-design frontier".\n'
+        'network_g: {type: EDVR, num_in_ch: 3, num_out_ch: 3, '
+        'num_feat: 64, num_frame: 5, deformable_groups: 8,\n'
+        '  num_extract_block: 5, num_reconstruct_block: 10, '
+        'center_frame_idx: null, hr_in: false,\n'
+        '  with_predeblur: false, with_tsa: true, '
+        'align_variant: tap_shared}')
     with open(path, 'w') as f:
         f.write(text)
     print('wrote', relpath)
@@ -221,7 +242,7 @@ dump('train/ESRGAN/train_ESRGAN_x4.yml', esrgan)
 
 
 def edvr_train(name, feat, extract, recon, tsa, pretrain, lr, periods,
-               tsa_iter=None):
+               tsa_iter=None, align_variant=None):
     opt = dict(
         name=name, model_type='EDVRModel', scale=4, num_gpu=8,
         manual_seed=10,
@@ -251,7 +272,9 @@ def edvr_train(name, feat, extract, recon, tsa, pretrain, lr, periods,
                        num_feat=feat, num_frame=5, deformable_groups=8,
                        num_extract_block=extract,
                        num_reconstruct_block=recon, center_frame_idx=None,
-                       hr_in=False, with_predeblur=False, with_tsa=tsa),
+                       hr_in=False, with_predeblur=False, with_tsa=tsa,
+                       **(dict(align_variant=align_variant)
+                          if align_variant else {})),
         path=dict(pretrain_network_g=pretrain,
                   strict_load_g=not tsa, resume_state=None),
         train=dict(
@@ -289,6 +312,11 @@ dump('train/EDVR/train_EDVR_M_x4_SR_REDS.yml',
                 'experiments/101_EDVR_M_x4_SR_REDS_woTSA_600k_B4G8/models/'
                 'net_g_600000.ckpt', 4e-4,
                 [50000, 100000, 150000, 150000, 150000], tsa_iter=50000))
+dump('train/EDVR/train_EDVR_M_x4_SR_REDS_tapshared.yml',
+     edvr_train('103_EDVR_M_x4_SR_REDS_tapshared_600k_B4G8', 64, 5, 10,
+                True, None, 4e-4,
+                [50000, 100000, 150000, 150000, 150000], tsa_iter=50000,
+                align_variant='tap_shared'))
 dump('train/EDVR/train_EDVR_L_x4_SR_REDS_woTSA.yml',
      edvr_train('201_EDVR_L_x4_SR_REDS_woTSA_600k_B4G8', 128, 5, 40, False,
                 None, 4e-4, [150000, 150000, 150000, 150000]))
