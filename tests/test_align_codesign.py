@@ -249,3 +249,29 @@ def test_unknown_variant_raises():
     net = define_network(dict(EDVR_TINY, align_variant='nope'))
     with pytest.raises(KeyError):
         net.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)))
+
+
+def test_tapshared_production_yml_builds_the_variant():
+    """The committed co-design config
+    (options/train/EDVR/train_EDVR_M_x4_SR_REDS_tapshared.yml) parses
+    and its network_g block constructs the tap_shared EDVR — pins the
+    YAML <-> arch contract so the generated file cannot drift from the
+    arch surface."""
+    import os.path as osp
+
+    import yaml
+
+    path = osp.join(osp.dirname(__file__), '..', 'options', 'train',
+                    'EDVR', 'train_EDVR_M_x4_SR_REDS_tapshared.yml')
+    opt = yaml.safe_load(open(path))
+    net_opt = dict(opt['network_g'])
+    net = define_network(net_opt)
+    assert net.align_variant == 'tap_shared'
+    assert opt['train']['mixed_precision'] == 'bf16'
+    # shrink to test size and prove the constructed module runs
+    net_opt.update(num_feat=16, num_extract_block=1,
+                   num_reconstruct_block=1, deformable_groups=2)
+    small = define_network(net_opt)
+    v = small.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)))
+    out = small.apply(v, _rand((1, 5, 16, 16, 3), 7))
+    assert out.shape == (1, 64, 64, 3)
