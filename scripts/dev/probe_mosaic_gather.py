@@ -29,11 +29,14 @@ Patterns probed (all gather G rows from a (R, 128) VMEM table):
   * onehot_matmul     — the shipped formulation as the baseline that
                         must always pass (sanity + timing reference).
 
-Result (2026-08-20, v5 lite, jax 0.9.x): see docs/TPUDesign.md
-"Mosaic in-VMEM gather probe" — vector_take/take_along_axis fail to
-lower ("Unsupported operation: vector.gather" class errors), ds_loop
-compiles and runs but at scalar-loop throughput, onehot_matmul passes.
-The order-of-magnitude lever stays locked.
+Result (2026-08-20, v5 lite): see docs/TPUDesign.md "Mosaic in-VMEM
+gather probe" — ALL THREE gather patterns are rejected at every DCN
+level shape: vector_take (shape-mismatch ValueError in the Mosaic
+take lowering), take_along_axis (lowering AssertionError), and even
+the scalar ds_loop with a data-dependent `pl.ds` start (remote-compile
+MosaicError). Only the shipped one-hot selection compiles (and its
+baseline comparison must pin f32 matmul precision). The
+order-of-magnitude lever stays fully locked on this toolchain.
 """
 
 import argparse
@@ -119,10 +122,15 @@ def main():
     def onehot(table, idx, g):
         # the shipped formulation's core: selection as a one-hot matmul
         # (banded in the real kernel; dense here purely as a baseline
-        # at a size that fits)
+        # at a size that fits). Precision must be pinned: the real band
+        # kernel emits f32 matmuls (Mosaic requires them), while a bare
+        # `@` at TPU-default precision quantizes through bf16 and fails
+        # an exact-selection comparison (CLAUDE.md timing/precision
+        # gotcha, observed 2026-08-20).
         rows = table.shape[0]
         oh = jax.nn.one_hot(idx, rows, dtype=table.dtype)
-        return oh @ table
+        with jax.default_matmul_precision('float32'):
+            return jax.jit(lambda a, b: a @ b)(oh, table)
 
     patterns = [('vector_take', vector_take_kernel),
                 ('take_along_axis', take_along_axis_kernel),
